@@ -1,0 +1,225 @@
+"""Tile-binned differentiable rasterizer — the production forward/backward.
+
+TPU-first redesign of the CUDA tile rasterizer (upstream
+diff-gaussian-rasterization-w-pose; interface reconstructed in SURVEY.md
+§2.9). Instead of CUB radix-sorted (tile, depth) keys and per-pixel warp
+loops, the pipeline is expressed as dense XLA ops:
+
+  1. project + cull (ops/project.py, differentiable incl. pose),
+  2. one global depth argsort of the N Gaussians,
+  3. duplicate each Gaussian into <= k_dup (tile) entries, stable-sort the
+     N*k_dup entries by tile id (stability preserves depth order in-tile),
+  4. scatter entry ids into a fixed (num_tiles, max_per_tile) index table,
+  5. gather per-tile Gaussian properties and alpha-composite each tile:
+     transmittance as exp(cumsum(log1p(-alpha))) and the color/depth
+     accumulation as (P x L) @ (L x C) batched matmuls — MXU work instead of
+     sequential per-pixel loops.
+
+The whole thing is jit-compatible with static shapes and differentiable end
+to end by autodiff (gather/scatter indices are integer side-paths). SE(3)
+pose gradients flow through `T_w2c`; densification gradients are harvested
+via `means2d_probe` (the reference's screenspace_points trick,
+gaussian_renderer/__init__.py:43-52).
+
+Capacity overflows (k_dup truncation, per-tile list overflow) are counted
+and returned as telemetry, never silent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models.camera import Intrinsics
+from ..models.gaussians import GaussianParams
+from .project import project_gaussians
+from .raster_types import RasterConfig, RenderOutput
+
+
+def render_tiled(
+    params: GaussianParams,
+    active: jnp.ndarray,
+    T_w2c: jnp.ndarray,
+    intr: Intrinsics,
+    sh_degree: int,
+    bg_color: jnp.ndarray | None = None,
+    config: RasterConfig = RasterConfig(),
+    means2d_probe: jnp.ndarray | None = None,
+    scale_modifier: float = 1.0,
+    isotropic: bool = False,
+) -> RenderOutput:
+    proj = project_gaussians(
+        params, active, T_w2c, intr, sh_degree, scale_modifier, isotropic
+    )
+    means2d = proj.means2d
+    if means2d_probe is not None:
+        means2d = means2d + means2d_probe
+
+    n = means2d.shape[0]
+    h, w = intr.height, intr.width
+    tile = config.tile
+    tx_n = -(-w // tile)
+    ty_n = -(-h // tile)
+    n_tiles = tx_n * ty_n
+    if bg_color is None:
+        bg_color = jnp.zeros((3,), means2d.dtype)
+
+    # ---- 1 global depth order --------------------------------------------
+    sort_depth = jnp.where(proj.valid, proj.depth, jnp.inf)
+    order = jnp.argsort(sort_depth)
+    mu = means2d[order]
+    con = proj.conic[order]
+    col = proj.color[order]
+    opa = proj.opacity[order]
+    z = proj.depth[order]
+    rad = proj.radii[order]
+    val = proj.valid[order]
+
+    # ---- 2 tile spans + duplicated entries --------------------------------
+    m = jax.lax.stop_gradient(mu)
+    r = jax.lax.stop_gradient(rad)
+    tx0 = jnp.clip(jnp.floor((m[:, 0] - r) / tile), 0, tx_n - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((m[:, 0] + r) / tile), 0, tx_n - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((m[:, 1] - r) / tile), 0, ty_n - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((m[:, 1] + r) / tile), 0, ty_n - 1).astype(jnp.int32)
+    wrect = tx1 - tx0 + 1
+    span = wrect * (ty1 - ty0 + 1)
+    span_cap = jnp.minimum(span, config.k_dup)
+    dup_overflow = jnp.where(val, span - span_cap, 0).sum().astype(jnp.int32)
+
+    ks = jnp.arange(config.k_dup, dtype=jnp.int32)
+    within = (ks[None, :] < span_cap[:, None]) & val[:, None]
+    tyk = ty0[:, None] + ks[None, :] // wrect[:, None]
+    txk = tx0[:, None] + ks[None, :] % wrect[:, None]
+    tid = jnp.where(within, tyk * tx_n + txk, n_tiles)  # (N, K); sentinel last
+    gidx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], tid.shape
+    )  # index into depth-sorted arrays
+
+    flat_tid = tid.reshape(-1)
+    flat_gidx = gidx.reshape(-1)
+
+    # ---- 3 stable sort by tile id (preserves in-tile depth order) ---------
+    sorted_tid, sorted_gidx = jax.lax.sort(
+        (flat_tid, flat_gidx), num_keys=1, is_stable=True
+    )
+
+    starts = jnp.searchsorted(sorted_tid, jnp.arange(n_tiles, dtype=jnp.int32))
+    pos = jnp.arange(flat_tid.shape[0], dtype=jnp.int32)
+    rank = pos - starts[jnp.clip(sorted_tid, 0, n_tiles - 1)]
+    is_entry = sorted_tid < n_tiles
+    keep = is_entry & (rank < config.max_per_tile)
+    tile_overflow = (is_entry & ~keep).sum().astype(jnp.int32)
+
+    # ---- 4 per-tile index table -------------------------------------------
+    row = jnp.where(keep, sorted_tid, n_tiles)  # OOB row -> dropped
+    colidx = jnp.where(keep, rank, 0)
+    idx_table = jnp.full((n_tiles, config.max_per_tile), n, jnp.int32)
+    idx_table = idx_table.at[row, colidx].set(sorted_gidx, mode="drop")
+
+    # ---- 5 gather per-tile properties (sentinel row n => alpha 0) ---------
+    def pad1(x):
+        return jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+
+    t_mu = pad1(mu)[idx_table]  # (T, L, 2)
+    t_con = pad1(con)[idx_table]  # (T, L, 3)
+    t_col = pad1(col)[idx_table]  # (T, L, 3)
+    t_opa = pad1(opa)[idx_table]  # (T, L)
+    t_z = pad1(z)[idx_table]  # (T, L)
+
+    # pixel coordinates per tile
+    t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    t_yx = jnp.stack([t_ids // tx_n, t_ids % tx_n], axis=-1)  # (T, 2)
+    ly, lx = jnp.meshgrid(
+        jnp.arange(tile, dtype=means2d.dtype),
+        jnp.arange(tile, dtype=means2d.dtype),
+        indexing="ij",
+    )
+    local = jnp.stack([lx.reshape(-1), ly.reshape(-1)], axis=-1)  # (P, 2) as (x, y)
+    origin = (t_yx[:, ::-1] * tile).astype(means2d.dtype)  # (T, 2) as (x, y)
+    pix = origin[:, None, :] + local[None, :, :]  # (T, P, 2)
+
+    # ---- blend tiles in groups --------------------------------------------
+    tg = config.tile_group
+    n_groups = -(-n_tiles // tg)
+    pad_t = n_groups * tg - n_tiles
+
+    def padg(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((pad_t,) + x.shape[1:], x.dtype)], axis=0
+        ).reshape((n_groups, tg) + x.shape[1:])
+
+    blend = functools.partial(
+        _blend_group,
+        alpha_clamp=config.alpha_clamp,
+        alpha_min=config.alpha_min,
+        t_min=config.transmittance_min,
+        bg=bg_color,
+    )
+    colors, depths, alphas, touch = jax.lax.map(
+        jax.checkpoint(lambda a: blend(*a)),
+        (padg(t_mu), padg(t_con), padg(t_col), padg(t_opa), padg(t_z), padg(pix)),
+    )
+    p = tile * tile
+    colors = colors.reshape(n_groups * tg, p, 3)[:n_tiles]
+    depths = depths.reshape(n_groups * tg, p)[:n_tiles]
+    alphas = alphas.reshape(n_groups * tg, p)[:n_tiles]
+    touch = touch.reshape(n_groups * tg, config.max_per_tile)[:n_tiles]
+
+    def tiles_to_image(x):
+        c = x.shape[2:]
+        img = x.reshape((ty_n, tx_n, tile, tile) + c)
+        img = jnp.moveaxis(img, 2, 1).reshape((ty_n * tile, tx_n * tile) + c)
+        return img[:h, :w]
+
+    color_img = tiles_to_image(colors.reshape(n_tiles, tile, tile, 3))
+    depth_img = tiles_to_image(depths.reshape(n_tiles, tile, tile))
+    alpha_img = tiles_to_image(alphas.reshape(n_tiles, tile, tile))
+
+    # ---- n_touched back to original Gaussian order -------------------------
+    counts = jnp.zeros((n + 1,), jnp.int32).at[idx_table.reshape(-1)].add(
+        touch.reshape(-1).astype(jnp.int32)
+    )
+    n_touched = jnp.zeros((n,), jnp.int32).at[order].set(counts[:n])
+
+    return RenderOutput(
+        color=color_img,
+        depth=depth_img,
+        alpha=alpha_img,
+        n_touched=n_touched,
+        radii=proj.radii,
+        visible=proj.radii > 0.0,
+        dup_overflow=dup_overflow,
+        tile_overflow=tile_overflow,
+    )
+
+
+def _blend_group(mu, con, col, opa, z, pix, *, alpha_clamp, alpha_min, t_min, bg):
+    """Alpha-composite one group of tiles.
+
+    mu/con/col: (Tg, L, 2|3), opa/z: (Tg, L), pix: (Tg, P, 2).
+    Returns color (Tg, P, 3), depth (Tg, P), alpha (Tg, P), touch (Tg, L).
+    """
+    dx = pix[:, None, :, 0] - mu[:, :, None, 0]  # (Tg, L, P)
+    dy = pix[:, None, :, 1] - mu[:, :, None, 1]
+    power = (
+        -0.5 * (con[:, :, None, 0] * dx * dx + con[:, :, None, 2] * dy * dy)
+        - con[:, :, None, 1] * dx * dy
+    )
+    alpha = jnp.minimum(alpha_clamp, opa[:, :, None] * jnp.exp(power))
+    alpha = jnp.where((power > 0.0) | (alpha < alpha_min), 0.0, alpha)
+
+    log_om = jnp.log1p(-alpha)
+    log_t_incl = jnp.cumsum(log_om, axis=1)
+    t_in = jnp.exp(log_t_incl - log_om)  # exclusive transmittance
+    contributing = t_in >= t_min
+    wgt = jnp.where(contributing, alpha * t_in, 0.0)
+
+    color = jnp.einsum("tlp,tlc->tpc", wgt, col)
+    depth = jnp.einsum("tlp,tl->tp", wgt, z)
+    alpha_out = wgt.sum(axis=1)
+    color = color + (1.0 - alpha_out[..., None]) * bg
+    touch = ((alpha >= alpha_min) & contributing).sum(axis=2).astype(jnp.int32)
+    return color, depth, alpha_out, touch
