@@ -1,0 +1,459 @@
+"""Mapping backend: host orchestration around the jitted mapping engine.
+
+Plays the role of the reference's BackEnd process
+(/root/reference/utils/slam_backend.py): owns the authoritative map, the
+keyframe store, the occ-aware visibility, and the window optimizer state.
+Where the reference loops render/backward in Python, this engine dispatches
+chunked `mapping_iterations` device programs (core/mapping.py).
+
+Concurrency model (SURVEY.md §2 "Parallelism & communication"): instead of a
+second OS process + CUDA-IPC queues, the backend runs either inline
+(single_thread semantics) or as a host thread (`BackendThread`) that
+time-slices mapping programs onto the same chip between the frontend's
+tracking programs — XLA serializes device execution, matching the
+reference's interleaving. The message protocol
+(init/keyframe/pause/unpause/color_refinement/stop) is preserved verbatim.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.camera import Intrinsics
+from ..models.gaussians import GaussianMap, create_map, insert_points
+from ..ops.raster_types import RasterConfig
+from ..utils.logging import Log
+from .insertion import new_points_from_frame
+from .keyframe import Keyframe
+from .mapping import (
+    KeyframeBatch,
+    KeyframeOptState,
+    make_keyframe_opt_state,
+    mapping_iterations,
+    visibility_prune,
+)
+from .params import MapOptConfig, StepConfig
+
+CAMERAS_EXTENT = 6.0  # reference slam.py:86 (backend.cameras_extent = 6.0)
+
+
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+class BackendEngine:
+    """Owns the map; executes init/keyframe/mapping/refinement commands."""
+
+    def __init__(
+        self,
+        config,
+        step_cfg: StepConfig,
+        opt_cfg: MapOptConfig,
+        intr: Intrinsics,
+        raster_cfg: RasterConfig,
+        capacity: int,
+        seed: int = 0,
+        live_mode: bool = False,
+    ):
+        self.config = config
+        self.cfg = step_cfg
+        self.opt_cfg = opt_cfg
+        self.intr = intr
+        self.raster_cfg = raster_cfg
+        self.capacity = capacity
+        self.live_mode = live_mode
+
+        training = config["Training"]
+        self.init_itr_num = int(training["init_itr_num"])
+        self.init_gaussian_update = int(training["init_gaussian_update"])
+        self.init_gaussian_reset = int(training["init_gaussian_reset"])
+        self.init_gaussian_th = float(training["init_gaussian_th"])
+        self.init_gaussian_extent = CAMERAS_EXTENT * float(
+            training["init_gaussian_extent"]
+        )
+        self.mapping_itr_num = int(training["mapping_itr_num"])
+        self.gaussian_update_every = int(training["gaussian_update_every"])
+        self.gaussian_update_offset = int(training["gaussian_update_offset"])
+        self.gaussian_th = float(training["gaussian_th"])
+        self.gaussian_extent = CAMERAS_EXTENT * float(training["gaussian_extent"])
+        self.gaussian_reset = int(training["gaussian_reset"])
+        self.size_threshold = float(training["size_threshold"])
+        self.window_size = int(training["window_size"])
+        self.pose_window = int(training["pose_window"])
+        self.prune_mode = training.get("prune_mode", "slam")
+        self.refinement_itr_num = int(training.get("refinement_itr_num", 26000))
+        self.lambda_dssim = float(config["opt_params"]["lambda_dssim"])
+
+        ds = config["Dataset"]
+        self.pcd_downsample = int(ds.get("pcd_downsample", 64))
+        self.pcd_downsample_init = int(ds.get("pcd_downsample_init", 32))
+        self.point_size = float(ds.get("point_size", 0.01))
+        self.adaptive_pointsize = bool(ds.get("adaptive_pointsize", True))
+
+        self.use_depth = not self.cfg.monocular
+        self.bg_color = jnp.zeros(3)
+        self.map_chunk = 10  # iterations per device program dispatch
+
+        self.rng = jax.random.PRNGKey(seed)
+        self.reset()
+
+    # ------------------------------------------------------------------ state
+
+    def reset(self) -> None:
+        """Full map reset (slam_backend.py:72-84)."""
+        self.gmap: GaussianMap = create_map(self.capacity, self.cfg.sh_degree)
+        self.iteration_count = 0
+        self.viewpoints: Dict[int, Keyframe] = {}
+        self.current_window: List[int] = []
+        self.occ_aware_visibility: Dict[int, jnp.ndarray] = {}
+        self.initialized = not self.cfg.monocular
+        self.kf_state: Optional[KeyframeOptState] = None
+        self.telemetry = {"insert_dropped": 0, "densify_dropped": 0}
+
+    def _split_rng(self) -> jax.Array:
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+    # ------------------------------------------------------------- insertion
+
+    def add_next_kf(
+        self, frame_idx: int, kf: Keyframe, depth_map: jnp.ndarray, init: bool = False
+    ) -> None:
+        """extend_from_pcd_seq equivalent (gaussian_model.py:235-...)."""
+        downsample = self.pcd_downsample_init if init else self.pcd_downsample
+        h, w = self.intr.height, self.intr.width
+        budget = _next_pow2(max(int(2 * h * w / downsample), 256))
+        new_params, valid = new_points_from_frame(
+            self._split_rng(),
+            kf.image,
+            depth_map,
+            kf.exposure,
+            kf.T_w2c,
+            self.intr,
+            self.cfg.sh_degree,
+            budget,
+            downsample,
+            self.point_size,
+            self.adaptive_pointsize,
+        )
+        self.gmap, dropped = insert_points(self.gmap, new_params, valid, frame_idx)
+        self.telemetry["insert_dropped"] += int(dropped)
+        self.viewpoints[frame_idx] = kf
+
+    # ----------------------------------------------------------- batch build
+
+    def _build_batch(
+        self, apply_exposure: bool, frames_to_optimize: int
+    ) -> tuple[KeyframeBatch, list[int]]:
+        """Stack the current window + 2 random past keyframes into slots."""
+        b = self.cfg.window_slots
+        window = list(self.current_window)[: b - 2]
+        others = [i for i in self.viewpoints if i not in set(window)]
+        rand: List[int] = []
+        if others:
+            k = self._split_rng()
+            picks = jax.random.choice(
+                k, jnp.array(others), shape=(min(2, len(others)),), replace=False
+            )
+            rand = [int(i) for i in np.asarray(picks)]
+        slot_ids = window + rand
+        h, w = self.intr.height, self.intr.width
+
+        images = jnp.zeros((b, h, w, 3))
+        depths = jnp.zeros((b, h, w))
+        T = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+        exposure = jnp.zeros((b, 2))
+        valid = np.zeros(b, bool)
+        opt_pose = np.zeros(b, bool)
+        opt_exp = np.zeros(b, bool)
+        harvest = np.zeros(b, bool)
+
+        for s, kf_idx in enumerate(slot_ids):
+            kf = self.viewpoints[kf_idx]
+            images = images.at[s].set(kf.image)
+            if kf.depth is not None:
+                depths = depths.at[s].set(kf.depth)
+            T = T.at[s].set(kf.T_w2c)
+            exposure = exposure.at[s].set(kf.exposure)
+            valid[s] = True
+            in_window = s < len(window)
+            harvest[s] = in_window
+            if in_window and kf_idx != 0:
+                opt_exp[s] = True
+                if s < frames_to_optimize:
+                    opt_pose[s] = True
+
+        batch = KeyframeBatch(
+            images=images,
+            depths=depths,
+            T_w2c=T,
+            exposure=exposure,
+            valid=jnp.array(valid),
+            optimize_pose=jnp.array(opt_pose),
+            optimize_exposure=jnp.array(opt_exp),
+            apply_exposure=jnp.array(
+                np.full(b, apply_exposure) & valid
+            ),
+            harvest_visibility=jnp.array(harvest),
+        )
+        return batch, slot_ids
+
+    def _writeback(self, batch: KeyframeBatch, slot_ids: list[int]) -> None:
+        for s, kf_idx in enumerate(slot_ids):
+            kf = self.viewpoints[kf_idx]
+            kf.T_w2c = batch.T_w2c[s]
+            kf.exposure = batch.exposure[s]
+
+    # ---------------------------------------------------------------- mapping
+
+    def map(
+        self,
+        iters: int = 1,
+        prune: bool = False,
+        init_mode: bool = False,
+        frames_to_optimize: Optional[int] = None,
+    ) -> None:
+        """BackEnd.map equivalent (slam_backend.py:142-318), chunk-dispatched."""
+        if not self.current_window:
+            return
+        if frames_to_optimize is None:
+            frames_to_optimize = self.pose_window
+        if self.kf_state is None:
+            self.kf_state = make_keyframe_opt_state(self.cfg.window_slots)
+
+        if init_mode:
+            update_every, update_offset = self.init_gaussian_update, 1
+            reset_interval = self.init_gaussian_reset
+            g_th, g_extent = self.init_gaussian_th, self.init_gaussian_extent
+            size_th = 0.0
+        else:
+            update_every, update_offset = (
+                self.gaussian_update_every,
+                self.gaussian_update_offset,
+            )
+            reset_interval = self.gaussian_reset
+            g_th, g_extent = self.gaussian_th, self.gaussian_extent
+            size_th = self.size_threshold
+
+        remaining = iters
+        visibility = None
+        slot_ids: list[int] = []
+        while remaining > 0:
+            chunk = min(self.map_chunk, remaining)
+            batch, slot_ids = self._build_batch(
+                apply_exposure=not init_mode, frames_to_optimize=frames_to_optimize
+            )
+            out = mapping_iterations(
+                self.gmap,
+                batch,
+                self.kf_state,
+                jnp.asarray(self.iteration_count, jnp.int32),
+                self._split_rng(),
+                self.bg_color,
+                jnp.float32(g_th),
+                jnp.float32(g_extent),
+                self.cfg,
+                self.opt_cfg,
+                self.intr,
+                self.raster_cfg,
+                iters=chunk,
+                update_every=update_every,
+                update_offset=update_offset,
+                reset_interval=reset_interval,
+                size_threshold=size_th,
+                use_depth=self.use_depth,
+                init_mode=init_mode,
+            )
+            self.gmap = out.gmap
+            self.kf_state = out.kf_state
+            self.iteration_count += chunk
+            self.telemetry["densify_dropped"] += int(out.n_dropped)
+            self._writeback(out.batch, slot_ids)
+            visibility = out.visibility
+            remaining -= chunk
+
+        if visibility is not None:
+            # refresh occ-aware visibility from the last iteration
+            for s, kf_idx in enumerate(slot_ids):
+                if s < len(self.current_window):
+                    self.occ_aware_visibility[kf_idx] = visibility[s]
+            self.occ_aware_visibility = {
+                k: v
+                for k, v in self.occ_aware_visibility.items()
+                if k in set(self.current_window)
+            }
+
+        if prune and len(self.current_window) == self.window_size:
+            self._visibility_prune()
+            if not self.initialized:
+                self.initialized = True
+                Log("Initialized SLAM")
+
+    def _visibility_prune(self) -> None:
+        b = self.cfg.window_slots
+        n = self.capacity
+        vis = jnp.zeros((b, n), bool)
+        valid = np.zeros(b, bool)
+        kf_ids = np.full(b, -1, np.int64)
+        for s, kf_idx in enumerate(self.current_window[:b]):
+            if kf_idx in self.occ_aware_visibility:
+                vis = vis.at[s].set(self.occ_aware_visibility[kf_idx])
+                valid[s] = True
+                kf_ids[s] = kf_idx
+        sorted_window = sorted(self.current_window, reverse=True)
+        third_newest = sorted_window[2] if len(sorted_window) > 2 else 0
+        prev_active = self.gmap.aux.active
+        self.gmap = visibility_prune(
+            self.gmap,
+            vis,
+            jnp.array(valid),
+            jnp.array(kf_ids, jnp.int32),
+            jnp.asarray(third_newest, jnp.int32),
+            jnp.asarray(self.initialized),
+            self.prune_mode,
+            self.cfg.monocular,
+        )
+        if self.cfg.monocular:
+            # keep visibility vectors consistent with the pruned map
+            kept = self.gmap.aux.active | ~prev_active
+            for k in list(self.occ_aware_visibility):
+                self.occ_aware_visibility[k] = self.occ_aware_visibility[k] & kept
+
+    # ------------------------------------------------------------- commands
+
+    def handle_init(self, frame_idx: int, kf: Keyframe, depth_map: jnp.ndarray):
+        """["init"] handler (slam_backend.py:396-407)."""
+        Log("Resetting the system")
+        self.reset()
+        self.current_window = [frame_idx]
+        self.add_next_kf(frame_idx, kf, depth_map, init=True)
+        self.initialize_map(frame_idx)
+
+    def initialize_map(self, frame_idx: int) -> None:
+        """initialize_map (slam_backend.py:86-140)."""
+        self.kf_state = make_keyframe_opt_state(self.cfg.window_slots)
+        self.map(
+            iters=self.init_itr_num,
+            init_mode=True,
+            frames_to_optimize=0,  # the first keyframe's pose stays fixed
+        )
+        Log("Initialized map")
+
+    def handle_keyframe(
+        self,
+        frame_idx: int,
+        kf: Keyframe,
+        current_window: List[int],
+        depth_map: jnp.ndarray,
+        single_thread: bool,
+    ) -> None:
+        """["keyframe"] handler (slam_backend.py:409-475)."""
+        self.current_window = list(current_window)
+        self.add_next_kf(frame_idx, kf, depth_map, init=False)
+
+        frames_to_optimize = self.pose_window
+        iter_per_kf = self.mapping_itr_num if single_thread else 10
+        if not self.initialized:
+            if len(self.current_window) == self.window_size:
+                frames_to_optimize = self.window_size - 1
+                iter_per_kf = 50 if self.live_mode else 300
+                Log("Performing initial BA for initialization")
+            else:
+                iter_per_kf = self.mapping_itr_num
+
+        self.kf_state = make_keyframe_opt_state(self.cfg.window_slots)
+        self.map(iters=iter_per_kf, frames_to_optimize=frames_to_optimize)
+        self.map(iters=1, prune=True, frames_to_optimize=frames_to_optimize)
+
+    def color_refinement(self, iterations: Optional[int] = None) -> None:
+        """Photometric-only refinement (slam_backend.py:320-353).
+
+        Budget defaults to the reference's 26,000 iterations; configurable
+        via Training.refinement_itr_num."""
+        from .refinement import run_color_refinement
+
+        self.gmap, self.iteration_count = run_color_refinement(
+            self,
+            iterations=self.refinement_itr_num if iterations is None else iterations,
+        )
+
+    # ----------------------------------------------------------------- views
+
+    def keyframe_poses(self) -> Dict[int, np.ndarray]:
+        return {idx: np.asarray(kf.T_w2c) for idx, kf in self.viewpoints.items()}
+
+
+class BackendThread(threading.Thread):
+    """Reference-style message-driven backend running as a host thread.
+
+    Consumes the reference's tag protocol from `backend_queue` and pushes
+    ["sync_backend"/"keyframe"/"init", poses, visibility] snapshots to
+    `frontend_queue` (slam_backend.py:355-482). The Gaussian map itself is
+    shared (JAX arrays are immutable; the frontend reads a consistent
+    snapshot reference instead of the CUDA-IPC deep copy).
+    """
+
+    def __init__(self, engine: BackendEngine, single_thread: bool = False):
+        super().__init__(daemon=True)
+        self.engine = engine
+        self.single_thread = single_thread
+        self.backend_queue: "queue.Queue" = queue.Queue()
+        self.frontend_queue: "queue.Queue" = queue.Queue()
+        self.pause = False
+        self.last_sent = 0
+
+    def push_to_frontend(self, tag: str = "sync_backend") -> None:
+        self.last_sent = 0
+        e = self.engine
+        keyframes = [
+            (idx, np.asarray(e.viewpoints[idx].T_w2c)) for idx in e.current_window
+        ]
+        snapshot = (e.gmap.params, e.gmap.aux.active)
+        self.frontend_queue.put(
+            [tag, snapshot, dict(e.occ_aware_visibility), keyframes]
+        )
+
+    def run(self) -> None:
+        e = self.engine
+        while True:
+            try:
+                data = self.backend_queue.get(timeout=0.005)
+            except queue.Empty:
+                if self.pause or not e.current_window or self.single_thread:
+                    continue
+                e.map(iters=1)
+                self.last_sent += 1
+                if self.last_sent >= 10:
+                    e.map(iters=10, prune=True)
+                    self.push_to_frontend()
+                continue
+
+            tag = data[0]
+            if tag == "stop":
+                break
+            elif tag == "pause":
+                self.pause = True
+            elif tag == "unpause":
+                self.pause = False
+            elif tag == "color_refinement":
+                e.color_refinement()
+                self.push_to_frontend()
+            elif tag == "init":
+                _, frame_idx, kf, depth_map = data
+                e.handle_init(frame_idx, kf, depth_map)
+                self.push_to_frontend("init")
+            elif tag == "keyframe":
+                _, frame_idx, kf, window, depth_map = data
+                e.handle_keyframe(frame_idx, kf, window, depth_map, self.single_thread)
+                self.push_to_frontend("keyframe")
+            else:
+                raise RuntimeError(f"Unprocessed message {tag}")

@@ -1,0 +1,463 @@
+"""Tracking frontend: per-frame loop, keyframe policy, window management.
+
+Rebuild of FrontEnd (/root/reference/utils/slam_frontend.py). Hot compute
+(tracking, pseudo-depth synthesis) runs as jitted device programs
+(core/tracking.py, core/insertion.py); the keyframe policy and window
+bookkeeping stay host-side numpy, as in the reference.
+
+Two execution modes mirror the reference's process topology (SURVEY.md §2
+"Parallelism & communication"):
+  - direct (single_thread): backend commands run inline;
+  - threaded: commands go through the reference's message protocol to a
+    `BackendThread`, with the same backpressure rules (wait while an init or
+    keyframe request is in flight).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.camera import Intrinsics
+from ..ops.raster_types import RasterConfig
+from ..utils.logging import Log
+from ..utils.losses import compute_grad_mask
+from .backend import BackendEngine, BackendThread
+from .insertion import mono_bootstrap_depth, pseudo_depth_map
+from .keyframe import Keyframe
+from .params import StepConfig
+from .tracking import TrackResult, track_frame
+
+
+@dataclasses.dataclass
+class FrameInfo:
+    """Host-side per-frame record (for eval and keyframe policy)."""
+
+    idx: int
+    T_est: np.ndarray  # (4, 4) W2C estimate
+    T_gt: np.ndarray
+    exposure: np.ndarray
+    is_keyframe: bool = False
+
+
+# ---------------------------------------------------------------------------
+# keyframe policy (host, numpy) — slam_frontend.py:198-286
+
+
+def is_keyframe_check(
+    T_cur: np.ndarray,
+    T_last_kf: np.ndarray,
+    median_depth: float,
+    cur_vis: np.ndarray,
+    last_kf_vis: np.ndarray,
+    kf_translation: float,
+    kf_min_translation: float,
+    kf_overlap: float,
+) -> bool:
+    dist = np.linalg.norm((T_cur @ np.linalg.inv(T_last_kf))[0:3, 3])
+    dist_check = dist > kf_translation * median_depth
+    dist_check2 = dist > kf_min_translation * median_depth
+    union = np.count_nonzero(cur_vis | last_kf_vis)
+    intersection = np.count_nonzero(cur_vis & last_kf_vis)
+    point_ratio = intersection / max(union, 1)
+    return (point_ratio < kf_overlap and dist_check2) or dist_check
+
+
+def add_to_window(
+    cur_frame_idx: int,
+    cur_vis: np.ndarray,
+    occ_aware_visibility: Dict[int, np.ndarray],
+    window: List[int],
+    poses: Dict[int, np.ndarray],
+    kf_cutoff: float,
+    initialized: bool,
+    window_size: int,
+) -> Tuple[List[int], Optional[int]]:
+    n_dont_touch = 2
+    window = [cur_frame_idx] + window
+    removed_frame = None
+
+    # overlap eviction (Szymkiewicz-Simpson)
+    to_remove = []
+    cutoff = kf_cutoff if initialized else 0.4
+    for i in range(n_dont_touch, len(window)):
+        kf_idx = window[i]
+        vis = occ_aware_visibility[kf_idx]
+        intersection = np.count_nonzero(cur_vis & vis)
+        denom = max(min(np.count_nonzero(cur_vis), np.count_nonzero(vis)), 1)
+        if intersection / denom <= cutoff:
+            to_remove.append(kf_idx)
+    if to_remove:
+        window.remove(to_remove[-1])
+        removed_frame = to_remove[-1]
+
+    # inverse-distance eviction when over capacity
+    if len(window) > window_size:
+        T0_wc = np.linalg.inv(poses[cur_frame_idx])
+        inv_dist = []
+        for i in range(n_dont_touch, len(window)):
+            T_i = poses[window[i]]
+            inv_dists = []
+            for j in range(n_dont_touch, len(window)):
+                if i == j:
+                    continue
+                T_j_wc = np.linalg.inv(poses[window[j]])
+                inv_dists.append(
+                    1.0 / (np.linalg.norm((T_i @ T_j_wc)[0:3, 3]) + 1e-6)
+                )
+            k = np.sqrt(np.linalg.norm((T_i @ T0_wc)[0:3, 3]))
+            inv_dist.append(k * sum(inv_dists))
+        idx = int(np.argmax(inv_dist))
+        removed_frame = window[n_dont_touch + idx]
+        window.remove(removed_frame)
+
+    return window, removed_frame
+
+
+# ---------------------------------------------------------------------------
+
+
+class FrontEnd:
+    def __init__(
+        self,
+        config,
+        dataset,
+        engine: BackendEngine,
+        step_cfg: StepConfig,
+        intr: Intrinsics,
+        raster_cfg: RasterConfig,
+        backend_thread: Optional[BackendThread] = None,
+        seed: int = 1,
+        save_dir: Optional[str] = None,
+        throttle: bool = False,
+    ):
+        self.config = config
+        self.dataset = dataset
+        self.engine = engine
+        self.backend_thread = backend_thread
+        self.cfg = step_cfg
+        self.intr = intr
+        self.raster_cfg = raster_cfg
+        self.save_dir = save_dir
+        self.throttle = throttle
+
+        training = config["Training"]
+        self.monocular = step_cfg.monocular
+        self.kf_interval = int(training.get("kf_interval", 5))
+        self.window_size = int(training.get("window_size", 8))
+        self.kf_translation = float(training.get("kf_translation", 0.08))
+        self.kf_min_translation = float(training.get("kf_min_translation", 0.05))
+        self.kf_overlap = float(training.get("kf_overlap", 0.9))
+        self.kf_cutoff = float(training.get("kf_cutoff", 0.4))
+        self.edge_threshold = float(training.get("edge_threshold", 1.1))
+        self.single_thread = bool(training.get("single_thread", False))
+        self.save_trj = bool(config["Results"].get("save_trj", False))
+        self.save_trj_kf_intv = int(config["Results"].get("save_trj_kf_intv", 10))
+        self.per_block_mask = config["Dataset"]["type"] == "replica"
+        self.use_depth = not self.monocular
+
+        self.bg_color = jnp.zeros(3)
+        self.rng = jax.random.PRNGKey(seed)
+
+        # state (slam_frontend.py:29-44)
+        self.cameras: Dict[int, FrameInfo] = {}
+        self.kf_indices: List[int] = []
+        self.current_window: List[int] = []
+        self.occ_aware_visibility: Dict[int, np.ndarray] = {}
+        self.initialized = not self.monocular
+        self.reset = True
+        self.requested_init = False
+        self.requested_keyframe = 0
+        self.median_depth = 4.0
+        self.cur_frame_idx = 0  # persistent: run() is resumable
+        # frontend's render snapshot of the map (synced from backend)
+        self.snapshot = (engine.gmap.params, engine.gmap.aux.active)
+        self.ate_log: List[dict] = []
+
+    # ----------------------------------------------------------------- comms
+
+    def _send(self, msg) -> None:
+        if self.backend_thread is not None:
+            self.backend_thread.backend_queue.put(msg)
+        else:
+            tag = msg[0]
+            e = self.engine
+            if tag == "init":
+                e.handle_init(msg[1], msg[2], msg[3])
+            elif tag == "keyframe":
+                e.handle_keyframe(msg[1], msg[2], msg[3], msg[4], True)
+            elif tag == "color_refinement":
+                e.color_refinement()
+            elif tag == "stop":
+                pass
+            self._sync_direct(tag)
+
+    def _sync_direct(self, tag: str) -> None:
+        e = self.engine
+        self.snapshot = (e.gmap.params, e.gmap.aux.active)
+        self.occ_aware_visibility = {
+            k: np.asarray(v) for k, v in e.occ_aware_visibility.items()
+        }
+        for idx, kf in e.viewpoints.items():
+            if idx in self.cameras:
+                self.cameras[idx].T_est = np.asarray(kf.T_w2c)
+        if tag == "init":
+            self.requested_init = False
+        elif tag == "keyframe":
+            self.requested_keyframe = max(0, self.requested_keyframe - 1)
+
+    def _drain_frontend_queue(self, block: bool = False) -> None:
+        if self.backend_thread is None:
+            return
+        q = self.backend_thread.frontend_queue
+        while True:
+            try:
+                data = q.get(block=block, timeout=2000.0 if block else None)
+            except queue.Empty:
+                return
+            tag, snapshot, visibility, keyframes = data
+            self.snapshot = snapshot
+            self.occ_aware_visibility = {
+                k: np.asarray(v) for k, v in visibility.items()
+            }
+            for kf_idx, T in keyframes:
+                if kf_idx in self.cameras:
+                    self.cameras[kf_idx].T_est = np.asarray(T)
+                if kf_idx in self.engine.viewpoints:
+                    pass  # engine state is authoritative backend-side
+            if tag == "init":
+                self.requested_init = False
+            elif tag == "keyframe":
+                self.requested_keyframe = max(0, self.requested_keyframe - 1)
+            block = False
+
+    # ------------------------------------------------------------- per frame
+
+    def _split_rng(self) -> jax.Array:
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+    def _load_frame(self, idx: int):
+        image_np, depth_np, T_gt = self.dataset[idx]
+        image = jnp.asarray(image_np)
+        depth = jnp.asarray(depth_np) if depth_np is not None else None
+        grad_mask = compute_grad_mask(image, self.edge_threshold, self.per_block_mask)
+        return image, depth, np.asarray(T_gt), grad_mask
+
+    def initialize(self, cur_frame_idx: int, image, depth, T_gt, grad_mask) -> None:
+        """Bootstrap / reset (slam_frontend.py:110-126)."""
+        self.initialized = not self.monocular
+        self.kf_indices = []
+        self.current_window = [cur_frame_idx]
+        self.occ_aware_visibility = {}
+
+        T0 = jnp.asarray(T_gt, jnp.float32)  # GT anchor for frame 0
+        kf = Keyframe(
+            idx=cur_frame_idx,
+            image=image,
+            depth=depth if self.use_depth else None,
+            T_w2c=T0,
+            exposure=jnp.zeros(2),
+            T_gt=T_gt,
+            grad_mask=grad_mask,
+        )
+        self.cameras[cur_frame_idx] = FrameInfo(
+            cur_frame_idx, np.asarray(T0), T_gt, np.zeros(2), is_keyframe=True
+        )
+        self.kf_indices.append(cur_frame_idx)
+
+        if self.monocular or depth is None:
+            depth_map = mono_bootstrap_depth(
+                self._split_rng(), self.intr.height, self.intr.width, init=True
+            )
+        else:
+            valid_rgb = np.asarray(image).sum(-1) > self.cfg.rgb_boundary_threshold
+            depth_map = jnp.where(jnp.asarray(valid_rgb), depth, 0.0)
+
+        self.requested_init = True
+        self._send(["init", cur_frame_idx, kf, depth_map])
+        self.reset = False
+
+    def tracking(self, cur_frame_idx: int, image, depth, grad_mask) -> TrackResult:
+        prev = self.cameras[cur_frame_idx - 1]
+        params, active = self.snapshot
+        result = track_frame(
+            params,
+            active,
+            jnp.asarray(prev.T_est, jnp.float32),
+            jnp.zeros(2),
+            image,
+            depth if (self.use_depth and depth is not None) else jnp.zeros_like(image[..., 0]),
+            grad_mask,
+            self.bg_color,
+            self.cfg,
+            self.intr,
+            self.raster_cfg,
+            use_depth=self.use_depth and depth is not None,
+        )
+        self.median_depth = float(result.median_depth)
+        if not np.isfinite(self.median_depth):
+            self.median_depth = 4.0
+        return result
+
+    def make_keyframe_depth(self, image, depth, track: TrackResult):
+        """add_new_keyframe depth synthesis (slam_frontend.py:57-108)."""
+        if self.monocular:
+            return pseudo_depth_map(
+                self._split_rng(),
+                track.depth,
+                track.opacity,
+                image,
+                self.cfg.rgb_boundary_threshold,
+            )
+        valid_rgb = image.sum(axis=-1) > self.cfg.rgb_boundary_threshold
+        return jnp.where(valid_rgb, depth, 0.0)
+
+    # ------------------------------------------------------------------- run
+
+    def run(self, max_frames: Optional[int] = None) -> None:
+        n_frames = len(self.dataset)
+        if max_frames is not None:
+            n_frames = min(n_frames, max_frames)
+        cur_frame_idx = self.cur_frame_idx  # resumable across calls
+
+        while cur_frame_idx < n_frames:
+            self.cur_frame_idx = cur_frame_idx
+            tic = time.time()
+            self._drain_frontend_queue()
+
+            if self.requested_init:
+                self._drain_frontend_queue(block=False)
+                time.sleep(0.005)
+                continue
+            if self.single_thread and self.requested_keyframe > 0:
+                time.sleep(0.005)
+                continue
+            if not self.initialized and self.requested_keyframe > 0:
+                time.sleep(0.005)
+                continue
+
+            image, depth, T_gt, grad_mask = self._load_frame(cur_frame_idx)
+
+            if self.reset:
+                self.initialize(cur_frame_idx, image, depth, T_gt, grad_mask)
+                cur_frame_idx += 1
+                continue
+
+            self.initialized = self.initialized or (
+                len(self.current_window) == self.window_size
+            )
+
+            track = self.tracking(cur_frame_idx, image, depth, grad_mask)
+            self.cameras[cur_frame_idx] = FrameInfo(
+                cur_frame_idx,
+                np.asarray(track.T_w2c),
+                T_gt,
+                np.asarray(track.exposure_ab),
+            )
+
+            if self.requested_keyframe > 0:
+                cur_frame_idx += 1
+                continue
+
+            last_keyframe_idx = self.current_window[0]
+            check_time = (cur_frame_idx - last_keyframe_idx) >= self.kf_interval
+            cur_vis = np.asarray(track.n_touched) > 0
+            create_kf = is_keyframe_check(
+                np.asarray(track.T_w2c),
+                self.cameras[last_keyframe_idx].T_est,
+                self.median_depth,
+                cur_vis,
+                self.occ_aware_visibility.get(
+                    last_keyframe_idx, np.zeros_like(cur_vis)
+                ),
+                self.kf_translation,
+                self.kf_min_translation,
+                self.kf_overlap,
+            )
+            if len(self.current_window) < self.window_size:
+                last_vis = self.occ_aware_visibility.get(
+                    last_keyframe_idx, np.zeros_like(cur_vis)
+                )
+                union = max(np.count_nonzero(cur_vis | last_vis), 1)
+                intersection = np.count_nonzero(cur_vis & last_vis)
+                create_kf = check_time and (intersection / union) < self.kf_overlap
+            if self.single_thread:
+                create_kf = check_time and create_kf
+
+            if create_kf:
+                poses = {i: self.cameras[i].T_est for i in self.current_window}
+                poses[cur_frame_idx] = np.asarray(track.T_w2c)
+                self.current_window, removed = add_to_window(
+                    cur_frame_idx,
+                    cur_vis,
+                    self.occ_aware_visibility,
+                    self.current_window,
+                    poses,
+                    self.kf_cutoff,
+                    self.initialized,
+                    self.window_size,
+                )
+                if self.monocular and not self.initialized and removed is not None:
+                    self.reset = True
+                    Log(
+                        "Keyframes lacks sufficient overlap to initialize the "
+                        "map, resetting."
+                    )
+                    continue
+                depth_map = self.make_keyframe_depth(image, depth, track)
+                kf = Keyframe(
+                    idx=cur_frame_idx,
+                    image=image,
+                    depth=depth if self.use_depth else None,
+                    T_w2c=track.T_w2c,
+                    exposure=track.exposure_ab,
+                    T_gt=T_gt,
+                    grad_mask=grad_mask,
+                )
+                self.cameras[cur_frame_idx].is_keyframe = True
+                self.kf_indices.append(cur_frame_idx)
+                Log(
+                    f"Keyframe {cur_frame_idx} (#{len(self.kf_indices)}), "
+                    f"window {self.current_window}"
+                )
+                self.requested_keyframe += 1
+                self._send(
+                    ["keyframe", cur_frame_idx, kf, list(self.current_window), depth_map]
+                )
+            cur_frame_idx += 1
+
+            if (
+                self.save_dir is not None
+                and self.save_trj
+                and create_kf
+                and len(self.kf_indices) % self.save_trj_kf_intv == 0
+            ):
+                from ..eval.ate import eval_ate
+
+                ate = eval_ate(
+                    self.cameras,
+                    self.kf_indices,
+                    self.save_dir,
+                    cur_frame_idx,
+                    final=False,
+                    monocular=self.monocular,
+                )
+                self.ate_log.append({"frame": cur_frame_idx, "ate": ate})
+
+            if create_kf and self.throttle:
+                # reference throttles to <=3 fps on keyframe frames
+                time.sleep(max(0.01, 1.0 / 3.0 - (time.time() - tic)))
+
+        self.cur_frame_idx = cur_frame_idx
+        # final sync so eval sees the last mapped state
+        if self.backend_thread is not None:
+            self._drain_frontend_queue()
+        else:
+            self._sync_direct("final")

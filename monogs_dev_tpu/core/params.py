@@ -1,0 +1,82 @@
+"""Static (hashable) parameter bundles that participate in jit cache keys.
+
+Field values mirror the reference YAML schema (configs/**, SURVEY.md §2.14);
+construction from a loaded config happens in `from_config` helpers so the
+YAML tree stays the single source of truth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Knobs consumed inside jitted tracking/mapping steps."""
+
+    monocular: bool = False
+    sh_degree: int = 0
+    isotropic: bool = False  # reference pipeline isotropic flag (unused by SLAM cfgs)
+    alpha: float = 0.95
+    rgb_boundary_threshold: float = 0.01
+    # tracking (slam_frontend.py:132-193)
+    tracking_max_iters: int = 100
+    cam_trans_lr: float = 0.001
+    cam_rot_lr: float = 0.003
+    exposure_lr: float = 0.01
+    convergence_threshold: float = 1e-4  # pose_utils.py:88
+    # mapping (slam_backend.py:142-318)
+    window_slots: int = 10  # window_size + 2 random frames
+    pose_window: int = 3
+    pose_lr_scale: float = 0.5  # backend pose lr x0.5 (slam_backend.py:431-446)
+
+    @staticmethod
+    def from_config(config) -> "StepConfig":
+        training = config["Training"]
+        monocular = config["Dataset"]["sensor_type"] == "monocular"
+        return StepConfig(
+            monocular=monocular,
+            sh_degree=3 if training.get("spherical_harmonics", False) else 0,
+            alpha=float(training.get("alpha", 0.95)),
+            rgb_boundary_threshold=float(training.get("rgb_boundary_threshold", 0.01)),
+            tracking_max_iters=int(training.get("tracking_itr_num", 100)),
+            cam_trans_lr=float(training["lr"]["cam_trans_delta"]),
+            cam_rot_lr=float(training["lr"]["cam_rot_delta"]),
+            window_slots=int(training.get("window_size", 8)) + 2,
+            pose_window=int(training.get("pose_window", 3)),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class MapOptConfig:
+    """3DGS optimizer hyperparameters (opt_params group; base_config.yaml)."""
+
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.001
+    rotation_lr: float = 0.001
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    densify_grad_threshold: float = 0.0002
+    spatial_lr_scale: float = 6.0  # reference init_lr(6.0) at slam.py:54
+
+    @staticmethod
+    def from_config(config) -> "MapOptConfig":
+        opt = config["opt_params"]
+        return MapOptConfig(
+            position_lr_init=float(opt["position_lr_init"]),
+            position_lr_final=float(opt["position_lr_final"]),
+            position_lr_delay_mult=float(opt["position_lr_delay_mult"]),
+            position_lr_max_steps=int(opt["position_lr_max_steps"]),
+            feature_lr=float(opt["feature_lr"]),
+            opacity_lr=float(opt["opacity_lr"]),
+            scaling_lr=float(opt["scaling_lr"]),
+            rotation_lr=float(opt["rotation_lr"]),
+            percent_dense=float(opt["percent_dense"]),
+            lambda_dssim=float(opt["lambda_dssim"]),
+            densify_grad_threshold=float(opt["densify_grad_threshold"]),
+        )

@@ -1,0 +1,147 @@
+"""Jitted camera-tracking loop.
+
+TPU-native rebuild of FrontEnd.tracking
+(/root/reference/utils/slam_frontend.py:128-196): the reference runs <=100
+Python iterations of render -> backward -> Adam -> SE(3) retraction with a
+convergence exit; here the whole loop is ONE device program — a
+`lax.while_loop` whose body takes `jax.grad` of the tracking loss w.r.t. the
+pose tangent (at zero) and exposure, applies an Adam update on the tangent,
+and retracts ``T <- exp(tau) @ T`` (pose_utils.py:76-93 semantics, including
+the ||tau|| < 1e-4 convergence test and torch.optim.Adam defaults
+eps=1e-8).
+
+Pose gradients flow through the rasterizer by autodiff of the composed
+``se3_exp(tau) @ T`` — the TPU replacement for the CUDA fork's hand-written
+theta/rho backward (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.lie import se3_exp
+from ..models.camera import Intrinsics
+from ..models.gaussians import GaussianParams
+from ..ops.raster_types import RasterConfig
+from ..ops.rasterize import render_tiled
+from ..utils.losses import tracking_loss, median_depth
+from .params import StepConfig
+
+_ADAM_B1, _ADAM_B2, _ADAM_EPS = 0.9, 0.999, 1e-8  # torch.optim.Adam defaults
+
+
+class TrackResult(NamedTuple):
+    T_w2c: jnp.ndarray  # (4, 4) final pose
+    exposure_ab: jnp.ndarray  # (2,)
+    n_iters: jnp.ndarray  # () int32
+    converged: jnp.ndarray  # () bool
+    color: jnp.ndarray  # (H, W, 3) render at final pose
+    depth: jnp.ndarray  # (H, W)
+    opacity: jnp.ndarray  # (H, W)
+    n_touched: jnp.ndarray  # (N,) int32
+    median_depth: jnp.ndarray  # ()
+
+
+class _Carry(NamedTuple):
+    T: jnp.ndarray
+    exp_ab: jnp.ndarray
+    mu: jnp.ndarray  # (8,) Adam first moment over [tau(6), exposure(2)]
+    nu: jnp.ndarray  # (8,)
+    count: jnp.ndarray
+    itr: jnp.ndarray
+    converged: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit, static_argnames=("intr", "cfg", "raster_cfg", "use_depth")
+)
+def track_frame(
+    params: GaussianParams,
+    active: jnp.ndarray,
+    T_init: jnp.ndarray,
+    exposure_init: jnp.ndarray,
+    image: jnp.ndarray,  # (H, W, 3) gt
+    depth_gt: jnp.ndarray,  # (H, W); ignored when use_depth=False
+    grad_mask: jnp.ndarray,  # (H, W) bool
+    bg_color: jnp.ndarray,
+    cfg: StepConfig,
+    intr: Intrinsics,
+    raster_cfg: RasterConfig,
+    use_depth: bool,
+) -> TrackResult:
+    lr = jnp.concatenate(
+        [
+            jnp.full((3,), cfg.cam_trans_lr),
+            jnp.full((3,), cfg.cam_rot_lr),
+            jnp.full((2,), cfg.exposure_lr),
+        ]
+    )
+
+    def loss_fn(tau, exp_ab, T):
+        T_new = se3_exp(tau) @ T
+        out = render_tiled(
+            params, active, T_new, intr, cfg.sh_degree, bg_color, raster_cfg
+        )
+        return tracking_loss(
+            out.color,
+            out.depth,
+            out.alpha,
+            image,
+            depth_gt if use_depth else None,
+            exp_ab,
+            grad_mask,
+            cfg.monocular,
+            cfg.alpha,
+            cfg.rgb_boundary_threshold,
+        )
+
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1))
+
+    def cond(c: _Carry):
+        return (c.itr < cfg.tracking_max_iters) & ~c.converged
+
+    def body(c: _Carry) -> _Carry:
+        g_tau, g_exp = grad_fn(jnp.zeros(6), c.exp_ab, c.T)
+        g = jnp.concatenate([g_tau, g_exp])
+        count = c.count + 1
+        mu = _ADAM_B1 * c.mu + (1.0 - _ADAM_B1) * g
+        nu = _ADAM_B2 * c.nu + (1.0 - _ADAM_B2) * g * g
+        c1 = 1.0 - _ADAM_B1 ** count.astype(jnp.float32)
+        c2 = 1.0 - _ADAM_B2 ** count.astype(jnp.float32)
+        step = lr * (mu / c1) / (jnp.sqrt(nu / c2) + _ADAM_EPS)
+        tau_new = -step[:6]
+        exp_new = c.exp_ab - step[6:]
+        T_new = se3_exp(tau_new) @ c.T
+        converged = jnp.linalg.norm(tau_new) < cfg.convergence_threshold
+        return _Carry(T_new, exp_new, mu, nu, count, c.itr + 1, converged)
+
+    init = _Carry(
+        T=T_init,
+        exp_ab=exposure_init,
+        mu=jnp.zeros(8),
+        nu=jnp.zeros(8),
+        count=jnp.zeros((), jnp.int32),
+        itr=jnp.zeros((), jnp.int32),
+        converged=jnp.zeros((), bool),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    out = render_tiled(
+        params, active, final.T, intr, cfg.sh_degree, bg_color, raster_cfg
+    )
+    med, _, _ = median_depth(out.depth, out.alpha)
+    return TrackResult(
+        T_w2c=final.T,
+        exposure_ab=final.exp_ab,
+        n_iters=final.itr,
+        converged=final.converged,
+        color=out.color,
+        depth=out.depth,
+        opacity=out.alpha,
+        n_touched=out.n_touched,
+        median_depth=med,
+    )

@@ -1,0 +1,112 @@
+"""Rendering-quality evaluation: masked PSNR, SSIM, LPIPS (gated).
+
+eval_utils.eval_rendering equivalent
+(/root/reference/utils/eval_utils.py:116-180): every `interval`-th
+non-keyframe frame is re-rendered from its estimated pose and scored. LPIPS
+uses the torch `lpips` package when importable (it is not bundled in this
+environment and its weights need network access); when unavailable the
+metric is reported as None — PSNR/SSIM carry the comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.camera import Intrinsics
+from ..ops.raster_types import RasterConfig
+from ..ops.rasterize import render_tiled
+from ..utils.logging import Log
+from ..utils.losses import psnr as psnr_fn
+from ..utils.losses import ssim as ssim_fn
+from ..utils.ply import save_ply
+
+_lpips_model = None
+
+
+def _lpips(img_a: np.ndarray, img_b: np.ndarray):
+    """LPIPS(AlexNet) if the package + weights are available, else None."""
+    global _lpips_model
+    try:
+        import torch
+        import lpips  # type: ignore
+
+        if _lpips_model is None:
+            _lpips_model = lpips.LPIPS(net="alex")
+        a = torch.from_numpy(img_a.transpose(2, 0, 1))[None] * 2 - 1
+        b = torch.from_numpy(img_b.transpose(2, 0, 1))[None] * 2 - 1
+        with torch.no_grad():
+            return float(_lpips_model(a, b).item())
+    except Exception:
+        return None
+
+
+def eval_rendering(
+    cameras: Dict[int, "FrameInfo"],  # noqa: F821
+    dataset,
+    params,
+    active,
+    intr: Intrinsics,
+    raster_cfg: RasterConfig,
+    sh_degree: int,
+    save_dir: str | None,
+    kf_indices: List[int],
+    iteration: str = "final",
+    interval: int = 5,
+) -> dict:
+    img_pred, img_gt = [], []
+    psnrs, ssims, lpipss = [], [], []
+
+    end_idx = len(dataset) - 1
+    for idx in range(0, end_idx, interval):
+        if idx in kf_indices or idx not in cameras:
+            continue
+        image_np, _, _ = dataset[idx]
+        gt = jnp.asarray(image_np)
+        T = jnp.asarray(cameras[idx].T_est, jnp.float32)
+        out = render_tiled(params, active, T, intr, sh_degree, config=raster_cfg)
+        pred = jnp.clip(out.color, 0.0, 1.0)
+        mask = gt.sum(axis=-1) > 0.0
+        psnrs.append(float(psnr_fn(pred, gt, mask)))
+        ssims.append(float(ssim_fn(pred, gt)))
+        lp = _lpips(np.asarray(pred), np.asarray(gt))
+        if lp is not None:
+            lpipss.append(lp)
+        img_pred.append(np.asarray(pred))
+        img_gt.append(np.asarray(gt))
+
+    output = {
+        "mean_psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
+        "mean_ssim": float(np.mean(ssims)) if ssims else float("nan"),
+        "mean_lpips": float(np.mean(lpipss)) if lpipss else None,
+        "n_frames": len(psnrs),
+    }
+    Log(
+        f'mean psnr: {output["mean_psnr"]}, ssim: {output["mean_ssim"]}, '
+        f'lpips: {output["mean_lpips"]}',
+        tag="Eval",
+    )
+    if save_dir is not None:
+        psnr_save_dir = os.path.join(save_dir, "psnr", str(iteration))
+        os.makedirs(psnr_save_dir, exist_ok=True)
+        with open(
+            os.path.join(psnr_save_dir, "final_result.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(output, f, indent=2)
+    return output
+
+
+def save_gaussians(params, active, save_dir: str | None, iteration, final=False):
+    """PLY snapshot (eval_utils.py:183-192 layout)."""
+    if save_dir is None:
+        return
+    point_cloud_path = os.path.join(
+        save_dir,
+        "point_cloud/final" if final else f"point_cloud/iteration_{iteration}",
+    )
+    n = save_ply(params, active, os.path.join(point_cloud_path, "point_cloud.ply"))
+    Log(f"Saved {n} gaussians to {point_cloud_path}", tag="Eval")

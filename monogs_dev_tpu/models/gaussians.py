@@ -83,8 +83,12 @@ def create_map(capacity: int, sh_degree: int, dtype=jnp.float32) -> GaussianMap:
         denom=jnp.zeros((capacity,), dtype),
         max_radii=jnp.zeros((capacity,), dtype),
     )
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    moments = AdamMoments(mu=zeros, nu=zeros, count=jnp.zeros((), jnp.int32))
+    # distinct arrays for mu/nu so buffer donation never sees aliases
+    moments = AdamMoments(
+        mu=jax.tree.map(jnp.zeros_like, params),
+        nu=jax.tree.map(jnp.zeros_like, params),
+        count=jnp.zeros((), jnp.int32),
+    )
     return GaussianMap(params, aux, moments)
 
 
@@ -311,6 +315,9 @@ def densify_and_prune(
     Returns (map, n_dropped) telemetry.
     """
     params, aux = gmap.params, gmap.aux
+    capacity = aux.active.shape[0]
+    clone_budget = min(clone_budget, capacity)
+    split_budget = min(split_budget, capacity)
     grads = jnp.where(aux.denom > 0, aux.grad_accum / jnp.maximum(aux.denom, 1.0), 0.0)
     scales, quats, opacity = activations(params)
     max_scale = scales.max(axis=-1)

@@ -169,7 +169,7 @@ def render_tiled(
     touch = touch.reshape(n_groups * tg, config.max_per_tile)[:n_tiles]
 
     def tiles_to_image(x):
-        c = x.shape[2:]
+        c = x.shape[3:]  # x: (n_tiles, tile, tile, *c)
         img = x.reshape((ty_n, tx_n, tile, tile) + c)
         img = jnp.moveaxis(img, 2, 1).reshape((ty_n * tile, tx_n * tile) + c)
         return img[:h, :w]

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""CLI entry point — `python slam.py --config <yaml> [--eval]`.
+
+Same interface as the reference (/root/reference/slam.py:201-258). `--eval`
+applies the reference's overrides: save_results, no GUI, rendering eval on.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from monogs_dev_tpu.core.system import SLAM, make_save_dir
+from monogs_dev_tpu.utils.config import load_config
+from monogs_dev_tpu.utils.logging import Log
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--eval", action="store_true")
+    parser.add_argument(
+        "--max-frames", type=int, default=None, help="limit sequence length"
+    )
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    config = load_config(args.config)
+
+    if args.eval:
+        Log("Running MonoGS-TPU in Evaluation Mode")
+        Log("Following config will be overriden")
+        Log("\tsave_results=True")
+        config["Results"]["save_results"] = True
+        Log("\tuse_gui=False")
+        config["Results"]["use_gui"] = False
+        Log("\teval_rendering=True")
+        config["Results"]["eval_rendering"] = True
+
+    save_dir = make_save_dir(config, args.config)
+    slam = SLAM(config, save_dir=save_dir, seed=args.seed)
+    try:
+        slam.run(max_frames=args.max_frames)
+        if args.eval or config["Results"].get("eval_rendering", False):
+            results = slam.evaluate(
+                eval_rendering_flag=config["Results"].get("eval_rendering", True)
+            )
+            Log(json.dumps(results, indent=2), tag="Eval")
+    finally:
+        slam.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,193 @@
+"""Tracking / insertion / mapping step behavior on synthetic scenes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monogs_dev_tpu.core import (
+    StepConfig,
+    MapOptConfig,
+    new_points_from_frame,
+    pseudo_depth_map,
+    track_frame,
+)
+from monogs_dev_tpu.core.mapping import (
+    KeyframeBatch,
+    make_keyframe_opt_state,
+    mapping_iterations,
+)
+from monogs_dev_tpu.data.synthetic import make_synthetic_scene
+from monogs_dev_tpu.geometry import se3_exp
+from monogs_dev_tpu.models import Intrinsics, create_map, insert_points
+from monogs_dev_tpu.ops import RasterConfig, render_tiled
+
+INTR = Intrinsics(fx=70.0, fy=70.0, cx=40.0, cy=32.0, width=80, height=64)
+RCFG = RasterConfig(tile=16, max_per_tile=128, k_dup=8, tile_group=10)
+
+
+def scene_map(n=400, capacity=1024):
+    params, active = make_synthetic_scene(jax.random.PRNGKey(3), n=n, scale=0.08)
+    gmap = create_map(capacity, 0)
+    gmap, _ = insert_points(gmap, params, active, kf_id=0)
+    return gmap
+
+
+class TestTracking:
+    def test_recovers_pose_perturbation(self):
+        gmap = scene_map()
+        T_true = jnp.eye(4)
+        gt = render_tiled(gmap.params, gmap.aux.active, T_true, INTR, 0, config=RCFG)
+        tau = jnp.array([0.02, -0.015, 0.01, 0.004, -0.003, 0.002])
+        T_init = se3_exp(tau) @ T_true
+
+        cfg = StepConfig(monocular=False, tracking_max_iters=60)
+        res = track_frame(
+            gmap.params,
+            gmap.aux.active,
+            T_init,
+            jnp.zeros(2),
+            gt.color,
+            gt.depth / jnp.maximum(gt.alpha, 1e-6),
+            jnp.ones((64, 80), bool),
+            jnp.zeros(3),
+            cfg,
+            INTR,
+            RCFG,
+            use_depth=True,
+        )
+        err_before = float(jnp.linalg.norm(T_init[:3, 3] - T_true[:3, 3]))
+        err_after = float(jnp.linalg.norm(res.T_w2c[:3, 3] - T_true[:3, 3]))
+        assert err_after < err_before * 0.5, (err_before, err_after)
+        assert int(res.n_iters) > 0
+
+    def test_stays_at_optimum(self):
+        # from a perfect init the pose must not drift: Adam takes lr-sized
+        # steps even on tiny gradients (scale invariance — same as the
+        # reference's torch Adam), so we assert boundedness, not the
+        # convergence flag.
+        gmap = scene_map()
+        gt = render_tiled(gmap.params, gmap.aux.active, jnp.eye(4), INTR, 0, config=RCFG)
+        cfg = StepConfig(monocular=False, tracking_max_iters=30)
+        res = track_frame(
+            gmap.params, gmap.aux.active, jnp.eye(4), jnp.zeros(2),
+            gt.color, gt.depth, jnp.ones((64, 80), bool), jnp.zeros(3),
+            cfg, INTR, RCFG, use_depth=True,
+        )
+        assert float(jnp.linalg.norm(res.T_w2c[:3, 3])) < 5e-3
+        rot_err = float(jnp.linalg.norm(res.T_w2c[:3, :3] - jnp.eye(3)))
+        assert rot_err < 5e-3
+
+
+class TestInsertion:
+    def test_backprojection_geometry(self):
+        # flat plane at z=2: backprojected points must be at depth 2 in cam space
+        h, w = INTR.height, INTR.width
+        depth = jnp.full((h, w), 2.0)
+        image = jnp.full((h, w, 3), 0.5)
+        params, valid = new_points_from_frame(
+            jax.random.PRNGKey(0), image, depth, jnp.zeros(2), jnp.eye(4),
+            INTR, 0, budget=512, downsample=8, point_size=0.01,
+            adaptive_pointsize=True,
+        )
+        pts = np.asarray(params.xyz)[np.asarray(valid)]
+        assert pts.shape[0] > 100
+        np.testing.assert_allclose(pts[:, 2], 2.0, atol=1e-5)
+        # colors -> SH dc of 0.5
+        from monogs_dev_tpu.geometry.sh import sh_to_rgb
+
+        rgb = sh_to_rgb(np.asarray(params.f_dc)[np.asarray(valid), 0])
+        np.testing.assert_allclose(rgb, 0.5, atol=1e-5)
+
+    def test_downsample_rate(self):
+        h, w = INTR.height, INTR.width
+        depth = jnp.full((h, w), 2.0)
+        image = jnp.full((h, w, 3), 0.5)
+        _, valid = new_points_from_frame(
+            jax.random.PRNGKey(1), image, depth, jnp.zeros(2), jnp.eye(4),
+            INTR, 0, budget=2048, downsample=8, point_size=0.01,
+            adaptive_pointsize=False,
+        )
+        n = int(valid.sum())
+        expect = h * w / 8
+        assert abs(n - expect) < 0.25 * expect
+
+    def test_invalid_depth_excluded(self):
+        h, w = INTR.height, INTR.width
+        depth = jnp.zeros((h, w)).at[:, : w // 2].set(2.0)
+        image = jnp.full((h, w, 3), 0.5)
+        params, valid = new_points_from_frame(
+            jax.random.PRNGKey(2), image, depth, jnp.zeros(2), jnp.eye(4),
+            INTR, 0, budget=2048, downsample=4, point_size=0.01,
+            adaptive_pointsize=False,
+        )
+        pts = np.asarray(params.xyz)[np.asarray(valid)]
+        assert np.all(pts[:, 2] > 0)
+        # all selected pixels are on the valid (left, x<0 in cam coords) half
+        assert np.all(pts[:, 0] < 0.01)
+
+    def test_pseudo_depth_zeroes_invalid_rgb(self):
+        h, w = 32, 32
+        depth_r = jnp.full((h, w), 3.0)
+        opac = jnp.ones((h, w))
+        img = jnp.zeros((h, w, 3)).at[: h // 2].set(0.5)
+        out = pseudo_depth_map(jax.random.PRNGKey(0), depth_r, opac, img)
+        out = np.asarray(out)
+        assert np.all(out[h // 2 :] == 0.0)
+        assert np.all(np.abs(out[: h // 2] - 3.0) < 1.0)
+
+
+class TestMappingConvergence:
+    def test_loss_decreases(self):
+        # optimize a perturbed map against 3 GT views
+        gt_map = scene_map()
+        scene_T = [jnp.eye(4)]
+        for tau in ([0.1, 0.0, 0.0, 0.0, 0.05, 0.0], [-0.1, 0.05, 0.0, 0.0, -0.05, 0.0]):
+            scene_T.append(se3_exp(jnp.array(tau)) @ jnp.eye(4))
+        frames = [
+            render_tiled(gt_map.params, gt_map.aux.active, T, INTR, 0, config=RCFG)
+            for T in scene_T
+        ]
+
+        noisy_params = gt_map.params._replace(
+            xyz=gt_map.params.xyz
+            + 0.02 * jax.random.normal(jax.random.PRNGKey(7), gt_map.params.xyz.shape)
+        )
+        gmap = gt_map._replace(params=noisy_params)
+
+        b = 5
+        cfg = StepConfig(monocular=False, window_slots=b)
+        images = jnp.stack(
+            [f.color for f in frames] + [jnp.zeros_like(frames[0].color)] * 2
+        )
+        depths = jnp.stack(
+            [f.depth / jnp.maximum(f.alpha, 1e-6) for f in frames]
+            + [jnp.zeros_like(frames[0].depth)] * 2
+        )
+        batch = KeyframeBatch(
+            images=images,
+            depths=depths,
+            T_w2c=jnp.stack(scene_T + [jnp.eye(4)] * 2),
+            exposure=jnp.zeros((b, 2)),
+            valid=jnp.array([True] * 3 + [False] * 2),
+            optimize_pose=jnp.zeros(b, bool),
+            optimize_exposure=jnp.zeros(b, bool),
+            apply_exposure=jnp.zeros(b, bool),
+            harvest_visibility=jnp.array([True] * 3 + [False] * 2),
+        )
+        kfs = make_keyframe_opt_state(b)
+
+        losses = []
+        it = jnp.zeros((), jnp.int32)
+        for step in range(4):
+            out = mapping_iterations(
+                gmap, batch, kfs, it, jax.random.PRNGKey(step),
+                jnp.zeros(3), jnp.float32(0.005), jnp.float32(180.0),
+                cfg, MapOptConfig(), INTR, RCFG,
+                iters=10, update_every=1000000, update_offset=50,
+                reset_interval=1000000, size_threshold=0.0,
+                use_depth=True, init_mode=False,
+            )
+            gmap, kfs, it = out.gmap, out.kf_state, out.iteration_count
+            losses.append(float(out.last_loss))
+        assert losses[-1] < losses[0] * 0.92, losses
+        assert all(b <= a for a, b in zip(losses, losses[1:])), losses
