@@ -25,6 +25,7 @@ class RasterConfig:
     max_per_tile: int = 1024
     k_dup: int = 16
     tile_group: int = 60
+    use_pallas: bool = True  # Pallas blend on hot paths (no n_touched)
 
     # blending constants (CUDA reference semantics)
     alpha_clamp: float = 0.99

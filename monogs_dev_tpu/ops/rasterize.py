@@ -3,22 +3,25 @@
 TPU-first redesign of the CUDA tile rasterizer (upstream
 diff-gaussian-rasterization-w-pose; interface reconstructed in SURVEY.md
 §2.9). Instead of CUB radix-sorted (tile, depth) keys and per-pixel warp
-loops, the pipeline is expressed as dense XLA ops:
+loops, the pipeline is:
 
   1. project + cull (ops/project.py, differentiable incl. pose),
   2. one global depth argsort of the N Gaussians,
   3. duplicate each Gaussian into <= k_dup (tile) entries, stable-sort the
      N*k_dup entries by tile id (stability preserves depth order in-tile),
-  4. scatter entry ids into a fixed (num_tiles, max_per_tile) index table,
-  5. gather per-tile Gaussian properties and alpha-composite each tile:
-     transmittance as exp(cumsum(log1p(-alpha))) and the color/depth
-     accumulation as (P x L) @ (L x C) batched matmuls — MXU work instead of
-     sequential per-pixel loops.
+  4. per-tile segment table built by GATHER from the sorted entries
+     (searchsorted starts + in-segment offsets; no scatter — scatters
+     serialize on TPU),
+  5. per-tile front-to-back alpha compositing:
+       - hot path: the Pallas kernel (ops/blend_pallas.py) with a custom
+         VJP — transmittance carried in registers, no (T, L, P) tensors;
+       - fallback / visibility path: dense XLA blend that also emits
+         n_touched (used for final renders that feed the keyframe policy).
 
-The whole thing is jit-compatible with static shapes and differentiable end
-to end by autodiff (gather/scatter indices are integer side-paths). SE(3)
-pose gradients flow through `T_w2c`; densification gradients are harvested
-via `means2d_probe` (the reference's screenspace_points trick,
+Everything is jit-compatible with static shapes and differentiable end to
+end (gather/scatter indices are integer side-paths). SE(3) pose gradients
+flow through `T_w2c`; densification gradients are harvested via
+`means2d_probe` (the reference's screenspace_points trick,
 gaussian_renderer/__init__.py:43-52).
 
 Capacity overflows (k_dup truncation, per-tile list overflow) are counted
@@ -34,6 +37,7 @@ import jax.numpy as jnp
 
 from ..models.camera import Intrinsics
 from ..models.gaussians import GaussianParams
+from .blend_pallas import blend_tiles_pallas
 from .project import project_gaussians
 from .raster_types import RasterConfig, RenderOutput
 
@@ -49,6 +53,7 @@ def render_tiled(
     means2d_probe: jnp.ndarray | None = None,
     scale_modifier: float = 1.0,
     isotropic: bool = False,
+    need_touched: bool = True,
 ) -> RenderOutput:
     proj = project_gaussians(
         params, active, T_w2c, intr, sh_degree, scale_modifier, isotropic
@@ -63,6 +68,7 @@ def render_tiled(
     tx_n = -(-w // tile)
     ty_n = -(-h // tile)
     n_tiles = tx_n * ty_n
+    l_max = config.max_per_tile
     if bg_color is None:
         bg_color = jnp.zeros((3,), means2d.dtype)
 
@@ -100,48 +106,103 @@ def render_tiled(
 
     flat_tid = tid.reshape(-1)
     flat_gidx = gidx.reshape(-1)
+    nk = flat_tid.shape[0]
 
     # ---- 3 stable sort by tile id (preserves in-tile depth order) ---------
     sorted_tid, sorted_gidx = jax.lax.sort(
         (flat_tid, flat_gidx), num_keys=1, is_stable=True
     )
 
-    starts = jnp.searchsorted(sorted_tid, jnp.arange(n_tiles, dtype=jnp.int32))
-    pos = jnp.arange(flat_tid.shape[0], dtype=jnp.int32)
-    rank = pos - starts[jnp.clip(sorted_tid, 0, n_tiles - 1)]
-    is_entry = sorted_tid < n_tiles
-    keep = is_entry & (rank < config.max_per_tile)
-    tile_overflow = (is_entry & ~keep).sum().astype(jnp.int32)
+    # ---- 4 per-tile segment table by gather -------------------------------
+    starts = jnp.searchsorted(
+        sorted_tid, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    )  # (T+1,)
+    seg_len = starts[1:] - starts[:-1]  # (T,)
+    counts = jnp.minimum(seg_len, l_max).astype(jnp.int32)
+    tile_overflow = jnp.maximum(seg_len - l_max, 0).sum().astype(jnp.int32)
 
-    # ---- 4 per-tile index table -------------------------------------------
-    row = jnp.where(keep, sorted_tid, n_tiles)  # OOB row -> dropped
-    colidx = jnp.where(keep, rank, 0)
-    idx_table = jnp.full((n_tiles, config.max_per_tile), n, jnp.int32)
-    idx_table = idx_table.at[row, colidx].set(sorted_gidx, mode="drop")
+    offs = jnp.arange(l_max, dtype=jnp.int32)
+    pos = starts[:-1, None] + offs[None, :]  # (T, L)
+    in_seg = offs[None, :] < counts[:, None]
+    idx_table = jnp.where(
+        in_seg, sorted_gidx[jnp.clip(pos, 0, nk - 1)], n
+    )  # sentinel row n
 
     # ---- 5 gather per-tile properties (sentinel row n => alpha 0) ---------
-    def pad1(x):
-        return jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+    props = jnp.concatenate(
+        [mu, con, col, opa[:, None], z[:, None]], axis=-1
+    )  # (N, 10)
+    props = jnp.concatenate([props, jnp.zeros((1, 10), props.dtype)], axis=0)
+    t_props = props[idx_table]  # (T, L, 10)
 
-    t_mu = pad1(mu)[idx_table]  # (T, L, 2)
-    t_con = pad1(con)[idx_table]  # (T, L, 3)
-    t_col = pad1(col)[idx_table]  # (T, L, 3)
-    t_opa = pad1(opa)[idx_table]  # (T, L)
-    t_z = pad1(z)[idx_table]  # (T, L)
+    use_pallas = config.use_pallas and not need_touched
+    if use_pallas:
+        color_t, depth_t, alpha_t = blend_tiles_pallas(
+            t_props,
+            counts,
+            tx_n,
+            tile,
+            config.alpha_clamp,
+            config.alpha_min,
+            config.transmittance_min,
+        )  # (T, 3, P), (T, P), (T, P)
+        colors = jnp.swapaxes(color_t, 1, 2)  # (T, P, 3)
+        depths, alphas = depth_t, alpha_t
+        colors = colors + (1.0 - alphas[..., None]) * bg_color
+        touch = jnp.zeros((n_tiles, l_max), jnp.int32)
+    else:
+        colors, depths, alphas, touch = _blend_xla(
+            t_props, config, tile, tx_n, n_tiles, bg_color
+        )
 
-    # pixel coordinates per tile
+    p = tile * tile
+
+    def tiles_to_image(x):
+        c = x.shape[3:]  # x: (n_tiles, tile, tile, *c)
+        img = x.reshape((ty_n, tx_n, tile, tile) + c)
+        img = jnp.moveaxis(img, 2, 1).reshape((ty_n * tile, tx_n * tile) + c)
+        return img[:h, :w]
+
+    color_img = tiles_to_image(colors.reshape(n_tiles, tile, tile, 3))
+    depth_img = tiles_to_image(depths.reshape(n_tiles, tile, tile))
+    alpha_img = tiles_to_image(alphas.reshape(n_tiles, tile, tile))
+
+    # ---- n_touched back to original Gaussian order -------------------------
+    if need_touched:
+        cnt = jnp.zeros((n + 1,), jnp.int32).at[idx_table.reshape(-1)].add(
+            touch.reshape(-1).astype(jnp.int32)
+        )
+        n_touched = jnp.zeros((n,), jnp.int32).at[order].set(cnt[:n])
+    else:
+        n_touched = jnp.zeros((n,), jnp.int32)
+
+    return RenderOutput(
+        color=color_img,
+        depth=depth_img,
+        alpha=alpha_img,
+        n_touched=n_touched,
+        radii=proj.radii,
+        visible=proj.radii > 0.0,
+        dup_overflow=dup_overflow,
+        tile_overflow=tile_overflow,
+    )
+
+
+def _blend_xla(t_props, config, tile, tx_n, n_tiles, bg_color):
+    """Dense XLA blend (emits n_touched); the Pallas kernel is the hot path."""
+    p = tile * tile
     t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    t_yx = jnp.stack([t_ids // tx_n, t_ids % tx_n], axis=-1)  # (T, 2)
+    origins = jnp.stack(
+        [(t_ids % tx_n) * tile, (t_ids // tx_n) * tile], axis=-1
+    ).astype(jnp.float32)
     ly, lx = jnp.meshgrid(
-        jnp.arange(tile, dtype=means2d.dtype),
-        jnp.arange(tile, dtype=means2d.dtype),
+        jnp.arange(tile, dtype=jnp.float32),
+        jnp.arange(tile, dtype=jnp.float32),
         indexing="ij",
     )
-    local = jnp.stack([lx.reshape(-1), ly.reshape(-1)], axis=-1)  # (P, 2) as (x, y)
-    origin = (t_yx[:, ::-1] * tile).astype(means2d.dtype)  # (T, 2) as (x, y)
-    pix = origin[:, None, :] + local[None, :, :]  # (T, P, 2)
+    local = jnp.stack([lx.reshape(-1), ly.reshape(-1)], axis=-1)  # (P, 2)
+    pix = origins[:, None, :] + local[None, :, :]  # (T, P, 2)
 
-    # ---- blend tiles in groups --------------------------------------------
     tg = config.tile_group
     n_groups = -(-n_tiles // tg)
     pad_t = n_groups * tg - n_tiles
@@ -160,40 +221,21 @@ def render_tiled(
     )
     colors, depths, alphas, touch = jax.lax.map(
         jax.checkpoint(lambda a: blend(*a)),
-        (padg(t_mu), padg(t_con), padg(t_col), padg(t_opa), padg(t_z), padg(pix)),
+        (
+            padg(t_props[..., 0:2]),
+            padg(t_props[..., 2:5]),
+            padg(t_props[..., 5:8]),
+            padg(t_props[..., 8]),
+            padg(t_props[..., 9]),
+            padg(pix),
+        ),
     )
-    p = tile * tile
+    l_max = t_props.shape[1]
     colors = colors.reshape(n_groups * tg, p, 3)[:n_tiles]
     depths = depths.reshape(n_groups * tg, p)[:n_tiles]
     alphas = alphas.reshape(n_groups * tg, p)[:n_tiles]
-    touch = touch.reshape(n_groups * tg, config.max_per_tile)[:n_tiles]
-
-    def tiles_to_image(x):
-        c = x.shape[3:]  # x: (n_tiles, tile, tile, *c)
-        img = x.reshape((ty_n, tx_n, tile, tile) + c)
-        img = jnp.moveaxis(img, 2, 1).reshape((ty_n * tile, tx_n * tile) + c)
-        return img[:h, :w]
-
-    color_img = tiles_to_image(colors.reshape(n_tiles, tile, tile, 3))
-    depth_img = tiles_to_image(depths.reshape(n_tiles, tile, tile))
-    alpha_img = tiles_to_image(alphas.reshape(n_tiles, tile, tile))
-
-    # ---- n_touched back to original Gaussian order -------------------------
-    counts = jnp.zeros((n + 1,), jnp.int32).at[idx_table.reshape(-1)].add(
-        touch.reshape(-1).astype(jnp.int32)
-    )
-    n_touched = jnp.zeros((n,), jnp.int32).at[order].set(counts[:n])
-
-    return RenderOutput(
-        color=color_img,
-        depth=depth_img,
-        alpha=alpha_img,
-        n_touched=n_touched,
-        radii=proj.radii,
-        visible=proj.radii > 0.0,
-        dup_overflow=dup_overflow,
-        tile_overflow=tile_overflow,
-    )
+    touch = touch.reshape(n_groups * tg, l_max)[:n_tiles]
+    return colors, depths, alphas, touch
 
 
 def _blend_group(mu, con, col, opa, z, pix, *, alpha_clamp, alpha_min, t_min, bg):
