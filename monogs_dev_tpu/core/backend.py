@@ -34,6 +34,7 @@ from .keyframe import Keyframe
 from .mapping import (
     KeyframeBatch,
     KeyframeOptState,
+    harvest_visibility,
     make_keyframe_opt_state,
     mapping_iterations,
     visibility_prune,
@@ -245,7 +246,7 @@ class BackendEngine:
             size_th = self.size_threshold
 
         remaining = iters
-        visibility = None
+        last_batch = None
         slot_ids: list[int] = []
         while remaining > 0:
             chunk = min(self.map_chunk, remaining)
@@ -278,10 +279,14 @@ class BackendEngine:
             self.iteration_count += chunk
             self.telemetry["densify_dropped"] += int(out.n_dropped)
             self._writeback(out.batch, slot_ids)
-            visibility = out.visibility
+            last_batch = out.batch
             remaining -= chunk
 
-        if visibility is not None:
+        if last_batch is not None:
+            visibility = harvest_visibility(
+                self.gmap, last_batch, self.bg_color, self.cfg, self.intr,
+                self.raster_cfg,
+            )
             # refresh occ-aware visibility from the last iteration
             for s, kf_idx in enumerate(slot_ids):
                 if s < len(self.current_window):

@@ -84,7 +84,6 @@ class MappingResult(NamedTuple):
     batch: KeyframeBatch  # updated poses / exposures
     kf_state: KeyframeOptState
     iteration_count: jnp.ndarray  # ()
-    visibility: jnp.ndarray  # (B, N) bool occ-aware visibility (window slots)
     last_loss: jnp.ndarray  # ()
     n_dropped: jnp.ndarray  # () densify capacity overflow telemetry
 
@@ -96,7 +95,6 @@ class _Carry(NamedTuple):
     kf_state: KeyframeOptState
     iteration_count: jnp.ndarray
     rng: jax.Array
-    visibility: jnp.ndarray
     last_loss: jnp.ndarray
     n_dropped: jnp.ndarray
 
@@ -161,6 +159,7 @@ def mapping_iterations(
             bg_color,
             raster_cfg,
             means2d_probe=probe,
+            need_touched=False,
         )
         loss = mapping_loss(
             out.color,
@@ -185,7 +184,7 @@ def mapping_iterations(
             rgb_boundary_threshold=cfg.rgb_boundary_threshold,
         )
         loss = jnp.where(app_exp, loss, loss_noexp) * valid.astype(jnp.float32)
-        return loss, (out.n_touched, out.radii)
+        return loss, out.radii
 
     frame_loss = jax.checkpoint(frame_loss, static_argnums=())
 
@@ -196,7 +195,7 @@ def mapping_iterations(
                 params, active, tau, exp_ab, probe, img, dep, T0, valid, app_exp
             )
 
-        losses, (n_touched, radii) = jax.lax.map(
+        losses, radii = jax.lax.map(
             one,
             (
                 taus,
@@ -210,7 +209,7 @@ def mapping_iterations(
             ),
         )
         loss = losses.sum() + isotropic_regularizer(params.log_scales, active)
-        return loss, (n_touched, radii)
+        return loss, radii
 
     grad_fn = jax.value_and_grad(total_loss, argnums=(0, 1, 2, 3), has_aux=True)
 
@@ -220,7 +219,7 @@ def mapping_iterations(
 
         taus0 = jnp.zeros((b, 6))
         probes0 = jnp.zeros((b, n, 2))
-        (loss, (n_touched, radii)), (g_map, g_tau, g_exp, g_probe) = grad_fn(
+        (loss, radii), (g_map, g_tau, g_exp, g_probe) = grad_fn(
             c.gmap.params, taus0, c.exposure, probes0, c.T, c.gmap.aux.active
         )
 
@@ -303,7 +302,9 @@ def mapping_iterations(
             )
         else:
             do_reset = ((it % reset_interval) == 0) & ~do_update
-            vis_union = (valid_f & (n_touched > 0)).any(axis=0)
+            # reference keys the reset on radii>0 over this iteration's
+            # renders (visibility_filter_acm, slam_backend.py:300-305)
+            vis_union = valid_f.any(axis=0)
             gmap_new = jax.lax.cond(
                 do_reset,
                 lambda g: reset_opacity_nonvisible(g, vis_union, 0.4),
@@ -311,9 +312,6 @@ def mapping_iterations(
                 gmap_new,
             )
 
-        visibility = (n_touched > 0) & (
-            batch.harvest_visibility & batch.valid
-        )[:, None]
         return _Carry(
             gmap=gmap_new,
             T=T_new,
@@ -321,7 +319,6 @@ def mapping_iterations(
             kf_state=kf_state,
             iteration_count=it,
             rng=rng,
-            visibility=visibility,
             last_loss=loss,
             n_dropped=c.n_dropped + dropped,
         )
@@ -333,7 +330,6 @@ def mapping_iterations(
         kf_state=kf_state,
         iteration_count=iteration_count,
         rng=rng,
-        visibility=jnp.zeros((b, n), bool),
         last_loss=jnp.zeros(()),
         n_dropped=jnp.zeros((), jnp.int32),
     )
@@ -344,9 +340,40 @@ def mapping_iterations(
         batch=batch._replace(T_w2c=final.T, exposure=final.exposure),
         kf_state=final.kf_state,
         iteration_count=final.iteration_count,
-        visibility=final.visibility,
         last_loss=final.last_loss,
         n_dropped=final.n_dropped,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "intr", "raster_cfg"))
+def harvest_visibility(
+    gmap: GaussianMap,
+    batch: KeyframeBatch,
+    bg_color: jnp.ndarray,
+    cfg: StepConfig,
+    intr: Intrinsics,
+    raster_cfg: RasterConfig,
+) -> jnp.ndarray:
+    """Occ-aware visibility (n_touched > 0) per window slot at the current
+    poses — one n_touched render per slot (slam_backend.py:236-240). Called
+    once per map() round, not per iteration."""
+
+    def vis_frame(args):
+        T0, valid, harvest = args
+        out = render_tiled(
+            gmap.params,
+            gmap.aux.active,
+            T0,
+            intr,
+            cfg.sh_degree,
+            bg_color,
+            raster_cfg,
+            need_touched=True,
+        )
+        return (out.n_touched > 0) & valid & harvest
+
+    return jax.lax.map(
+        vis_frame, (batch.T_w2c, batch.valid, batch.harvest_visibility)
     )
 
 

@@ -29,6 +29,11 @@ class StepConfig:
     window_slots: int = 10  # window_size + 2 random frames
     pose_window: int = 3
     pose_lr_scale: float = 0.5  # backend pose lr x0.5 (slam_backend.py:431-446)
+    # TPU binning reuse during tracking: rebin every `rebin_every` iterations
+    # with tile rectangles dilated by `rebin_dilation` pixels (pose drift
+    # margin). rebin_every=1 reproduces CUDA per-iteration binning exactly.
+    rebin_every: int = 10
+    rebin_dilation: float = 24.0
 
     @staticmethod
     def from_config(config) -> "StepConfig":

@@ -26,8 +26,9 @@ import jax.numpy as jnp
 from ..geometry.lie import se3_exp
 from ..models.camera import Intrinsics
 from ..models.gaussians import GaussianParams
+from ..ops.project import project_gaussians
 from ..ops.raster_types import RasterConfig
-from ..ops.rasterize import render_tiled
+from ..ops.rasterize import build_binning, render_binned, render_tiled
 from ..utils.losses import tracking_loss, median_depth
 from .params import StepConfig
 
@@ -81,10 +82,12 @@ def track_frame(
         ]
     )
 
-    def loss_fn(tau, exp_ab, T):
+    def loss_fn(tau, exp_ab, T, binning):
         T_new = se3_exp(tau) @ T
-        out = render_tiled(
-            params, active, T_new, intr, cfg.sh_degree, bg_color, raster_cfg
+        proj = project_gaussians(params, active, T_new, intr, cfg.sh_degree)
+        out = render_binned(
+            proj, proj.means2d, binning, intr, bg_color, raster_cfg,
+            need_touched=False,
         )
         return tracking_loss(
             out.color,
@@ -101,11 +104,11 @@ def track_frame(
 
     grad_fn = jax.grad(loss_fn, argnums=(0, 1))
 
-    def cond(c: _Carry):
+    def not_done(c: _Carry):
         return (c.itr < cfg.tracking_max_iters) & ~c.converged
 
-    def body(c: _Carry) -> _Carry:
-        g_tau, g_exp = grad_fn(jnp.zeros(6), c.exp_ab, c.T)
+    def body(c: _Carry, binning) -> _Carry:
+        g_tau, g_exp = grad_fn(jnp.zeros(6), c.exp_ab, c.T, binning)
         g = jnp.concatenate([g_tau, g_exp])
         count = c.count + 1
         mu = _ADAM_B1 * c.mu + (1.0 - _ADAM_B1) * g
@@ -119,6 +122,22 @@ def track_frame(
         converged = jnp.linalg.norm(tau_new) < cfg.convergence_threshold
         return _Carry(T_new, exp_new, mu, nu, count, c.itr + 1, converged)
 
+    def outer_body(c: _Carry) -> _Carry:
+        # rebin at the current pose with a drift margin, then run up to
+        # rebin_every inner iterations against the fixed binning
+        proj = jax.lax.stop_gradient(
+            project_gaussians(params, active, c.T, intr, cfg.sh_degree)
+        )
+        binning = build_binning(
+            proj, intr, raster_cfg, dilate=cfg.rebin_dilation
+        )
+        start_itr = c.itr
+
+        def inner_cond(ci: _Carry):
+            return not_done(ci) & (ci.itr < start_itr + cfg.rebin_every)
+
+        return jax.lax.while_loop(inner_cond, lambda ci: body(ci, binning), c)
+
     init = _Carry(
         T=T_init,
         exp_ab=exposure_init,
@@ -128,7 +147,7 @@ def track_frame(
         itr=jnp.zeros((), jnp.int32),
         converged=jnp.zeros((), bool),
     )
-    final = jax.lax.while_loop(cond, body, init)
+    final = jax.lax.while_loop(not_done, outer_body, init)
 
     out = render_tiled(
         params, active, final.T, intr, cfg.sh_degree, bg_color, raster_cfg

@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 # packed property columns (last-dim layout of the props array)
 #   0:2 mu, 2:5 conic, 5:8 color, 8 opacity, 9 depth  (D_IN = 10)
 D_IN = 10
-CHUNK = 8  # entries processed per inner step (sublane dimension)
+CHUNK = 16  # entries processed per inner step (sublane dimension)
 
 
 def _interpret() -> bool:
@@ -134,8 +134,13 @@ def _blend_fwd_kernel(
         t_in = t_run * excl  # exclusive transmittance
         w = jnp.where(t_in >= t_min, alpha * t_in, 0.0)  # (CHUNK, P)
         col = chunk[:, 5:8]  # (CHUNK, 3)
-        c_acc = c_acc + jax.lax.dot_general(
-            col, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        c_acc = c_acc + jnp.concatenate(
+            [
+                jnp.sum(w * col[:, 0:1], axis=0, keepdims=True),
+                jnp.sum(w * col[:, 1:2], axis=0, keepdims=True),
+                jnp.sum(w * col[:, 2:3], axis=0, keepdims=True),
+            ],
+            axis=0,
         )  # (3, P)
         z = chunk[:, 9:10]
         d_acc = d_acc + jnp.sum(w * z, axis=0, keepdims=True)

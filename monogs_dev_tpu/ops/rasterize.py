@@ -6,23 +6,27 @@ diff-gaussian-rasterization-w-pose; interface reconstructed in SURVEY.md
 loops, the pipeline is:
 
   1. project + cull (ops/project.py, differentiable incl. pose),
-  2. one global depth argsort of the N Gaussians,
-  3. duplicate each Gaussian into <= k_dup (tile) entries, stable-sort the
-     N*k_dup entries by tile id (stability preserves depth order in-tile),
-  4. per-tile segment table built by GATHER from the sorted entries
-     (searchsorted starts + in-segment offsets; no scatter — scatters
-     serialize on TPU),
-  5. per-tile front-to-back alpha compositing:
-       - hot path: the Pallas kernel (ops/blend_pallas.py) with a custom
-         VJP — transmittance carried in registers, no (T, L, P) tensors;
-       - fallback / visibility path: dense XLA blend that also emits
-         n_touched (used for final renders that feed the keyframe policy).
+  2. binning (`build_binning`, integer-only, non-differentiable):
+     one global depth argsort, duplication into <= k_dup tile entries, a
+     stable sort by tile id, and THREE index tables:
+       - idx_table (T, L): per-tile slot -> Gaussian index (sentinel N),
+       - pos_table (N, K): Gaussian entry -> flat table slot (the exact
+         inverse mapping, built with a second argsort),
+       - counts (T,): per-tile occupancy.
+     pos_table makes the property-gather's backward a GATHER instead of a
+     scatter-add — scatters serialize on TPU and dominated the backward.
+  3. per-tile property gather through `_tile_gather` (custom VJP using
+     pos_table),
+  4. per-tile front-to-back compositing:
+       - hot path: the Pallas kernel (ops/blend_pallas.py, custom VJP,
+         early termination);
+       - visibility path: dense XLA blend that also emits n_touched (final
+         renders feeding the keyframe policy).
 
-Everything is jit-compatible with static shapes and differentiable end to
-end (gather/scatter indices are integer side-paths). SE(3) pose gradients
-flow through `T_w2c`; densification gradients are harvested via
-`means2d_probe` (the reference's screenspace_points trick,
-gaussian_renderer/__init__.py:43-52).
+Because binning is integer-only it can be REUSED across tracking iterations
+(`build_binning(..., dilate=...)` once, `render_binned` per iteration) —
+the pose moves a few pixels per iteration while tile lists stay valid, the
+TPU answer to CUDA's cheap per-iteration rebinning.
 
 Capacity overflows (k_dup truncation, per-tile list overflow) are counted
 and returned as telemetry, never silent.
@@ -31,6 +35,7 @@ and returned as telemetry, never silent.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +43,218 @@ import jax.numpy as jnp
 from ..models.camera import Intrinsics
 from ..models.gaussians import GaussianParams
 from .blend_pallas import blend_tiles_pallas
-from .project import project_gaussians
+from .project import project_gaussians, ProjectedGaussians
 from .raster_types import RasterConfig, RenderOutput
+
+
+class Binning(NamedTuple):
+    """Integer binning state; reusable across nearby poses."""
+
+    idx_table: jnp.ndarray  # (T, L) int32 Gaussian ids (sentinel = N)
+    pos_table: jnp.ndarray  # (N, K) int32 flat slot ids (dummy = T*L)
+    counts: jnp.ndarray  # (T,) int32
+    dup_overflow: jnp.ndarray  # ()
+    tile_overflow: jnp.ndarray  # ()
+
+
+def _grid_dims(intr: Intrinsics, tile: int):
+    tx_n = -(-intr.width // tile)
+    ty_n = -(-intr.height // tile)
+    return tx_n, ty_n, tx_n * ty_n
+
+
+def build_binning(
+    proj: ProjectedGaussians,
+    intr: Intrinsics,
+    config: RasterConfig,
+    dilate: float = 0.0,
+) -> Binning:
+    """Bin projected Gaussians into per-tile depth-ordered lists.
+
+    `dilate` (pixels) enlarges each Gaussian's tile rectangle so the binning
+    stays valid while the pose drifts during a tracking loop.
+    """
+    tile = config.tile
+    l_max = config.max_per_tile
+    tx_n, ty_n, n_tiles = _grid_dims(intr, tile)
+    n = proj.means2d.shape[0]
+
+    m = jax.lax.stop_gradient(proj.means2d)
+    r = jax.lax.stop_gradient(proj.radii) + dilate
+
+    # depth order
+    sort_depth = jnp.where(proj.valid, proj.depth, jnp.inf)
+    order = jnp.argsort(jax.lax.stop_gradient(sort_depth)).astype(jnp.int32)
+    m = m[order]
+    r = r[order]
+    val = proj.valid[order]
+
+    tx0 = jnp.clip(jnp.floor((m[:, 0] - r) / tile), 0, tx_n - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((m[:, 0] + r) / tile), 0, tx_n - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((m[:, 1] - r) / tile), 0, ty_n - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((m[:, 1] + r) / tile), 0, ty_n - 1).astype(jnp.int32)
+    wrect = tx1 - tx0 + 1
+    span = wrect * (ty1 - ty0 + 1)
+    span_cap = jnp.minimum(span, config.k_dup)
+    dup_overflow = jnp.where(val, span - span_cap, 0).sum().astype(jnp.int32)
+
+    ks = jnp.arange(config.k_dup, dtype=jnp.int32)
+    within = (ks[None, :] < span_cap[:, None]) & val[:, None]
+    tyk = ty0[:, None] + ks[None, :] // wrect[:, None]
+    txk = tx0[:, None] + ks[None, :] % wrect[:, None]
+    tid = jnp.where(within, tyk * tx_n + txk, n_tiles)  # (N, K)
+    nk = n * config.k_dup
+
+    # stable sort entries by tile id; payload = entry id
+    eid = jnp.arange(nk, dtype=jnp.int32)
+    sorted_tid, sorted_eid = jax.lax.sort(
+        (tid.reshape(-1), eid), num_keys=1, is_stable=True
+    )
+    # per-tile segments
+    starts = jnp.searchsorted(
+        sorted_tid, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    seg_len = starts[1:] - starts[:-1]
+    counts = jnp.minimum(seg_len, l_max).astype(jnp.int32)
+    tile_overflow = jnp.maximum(seg_len - l_max, 0).sum().astype(jnp.int32)
+
+    # flat table slot for each SORTED position
+    pos = jnp.arange(nk, dtype=jnp.int32)
+    rank = pos - starts[jnp.clip(sorted_tid, 0, n_tiles - 1)]
+    in_table = (sorted_tid < n_tiles) & (rank < l_max)
+    slot_at_pos = jnp.where(in_table, sorted_tid * l_max + rank, n_tiles * l_max)
+
+    # idx_table by gather: table slot (t, l) -> original Gaussian id
+    offs = jnp.arange(l_max, dtype=jnp.int32)
+    gpos = starts[:-1, None] + offs[None, :]  # (T, L) sorted positions
+    in_seg = offs[None, :] < counts[:, None]
+    sorted_j = sorted_eid // config.k_dup  # depth-sorted gaussian per entry
+    idx_sorted_space = jnp.where(
+        in_seg, sorted_j[jnp.clip(gpos, 0, nk - 1)], n
+    )
+    order_pad = jnp.concatenate([order, jnp.array([n], jnp.int32)])
+    idx_table = order_pad[idx_sorted_space]  # original ids; sentinel n
+
+    # pos_table: second sort recovers each entry's sorted position
+    _, pos_of_entry = jax.lax.sort((sorted_eid, pos), num_keys=1)
+    slot_of_entry = slot_at_pos[pos_of_entry]  # (NK,) entry -> flat slot
+    pos_table_sorted = slot_of_entry.reshape(n, config.k_dup)
+    inv_order = jnp.argsort(order).astype(jnp.int32)
+    pos_table = pos_table_sorted[inv_order]  # rows in original gaussian order
+
+    return Binning(idx_table, pos_table, counts, dup_overflow, tile_overflow)
+
+
+# ---------------------------------------------------------------------------
+# scatter-free differentiable tile gather
+
+
+@jax.custom_vjp
+def _tile_gather(props_pad: jnp.ndarray, idx_table: jnp.ndarray, pos_table: jnp.ndarray):
+    """props_pad (N+1, D) -> (T, L, D) via idx_table; pos_table is its exact
+    inverse so the VJP is a gather + sum over K (no scatter)."""
+    return props_pad[idx_table]
+
+
+def _tile_gather_fwd(props_pad, idx_table, pos_table):
+    return props_pad[idx_table], (idx_table.shape, pos_table)
+
+
+def _tile_gather_bwd(res, g):
+    (t, l), pos_table = res
+    d = g.shape[-1]
+    g_flat = jnp.concatenate(
+        [g.reshape(t * l, d), jnp.zeros((1, d), g.dtype)], axis=0
+    )
+    per_entry = g_flat[jnp.clip(pos_table, 0, t * l)]  # (N, K, D)
+    d_props = per_entry.sum(axis=1)  # (N, D)
+    d_props = jnp.concatenate([d_props, jnp.zeros((1, d), g.dtype)], axis=0)
+    return d_props, None, None
+
+
+_tile_gather.defvjp(_tile_gather_fwd, _tile_gather_bwd)
+
+
+# ---------------------------------------------------------------------------
+
+
+def render_binned(
+    proj: ProjectedGaussians,
+    means2d: jnp.ndarray,
+    binning: Binning,
+    intr: Intrinsics,
+    bg_color: jnp.ndarray,
+    config: RasterConfig,
+    need_touched: bool,
+) -> RenderOutput:
+    """Composite with a prebuilt binning. Differentiable w.r.t. projection."""
+    tile = config.tile
+    tx_n, ty_n, n_tiles = _grid_dims(intr, tile)
+    h, w = intr.height, intr.width
+    n = means2d.shape[0]
+    l_max = config.max_per_tile
+
+    props = jnp.concatenate(
+        [
+            means2d,
+            proj.conic,
+            proj.color,
+            proj.opacity[:, None],
+            proj.depth[:, None],
+        ],
+        axis=-1,
+    )  # (N, 10)
+    props_pad = jnp.concatenate([props, jnp.zeros((1, 10), props.dtype)], axis=0)
+    t_props = _tile_gather(props_pad, binning.idx_table, binning.pos_table)
+
+    use_pallas = config.use_pallas and not need_touched
+    if use_pallas:
+        color_t, depth_t, alpha_t = blend_tiles_pallas(
+            t_props,
+            binning.counts,
+            tx_n,
+            tile,
+            config.alpha_clamp,
+            config.alpha_min,
+            config.transmittance_min,
+        )
+        colors = jnp.swapaxes(color_t, 1, 2)  # (T, P, 3)
+        depths, alphas = depth_t, alpha_t
+        colors = colors + (1.0 - alphas[..., None]) * bg_color
+        touch = jnp.zeros((n_tiles, l_max), jnp.int32)
+    else:
+        colors, depths, alphas, touch = _blend_xla(
+            t_props, config, tile, tx_n, n_tiles, bg_color
+        )
+
+    def tiles_to_image(x):
+        c = x.shape[3:]  # x: (n_tiles, tile, tile, *c)
+        img = x.reshape((ty_n, tx_n, tile, tile) + c)
+        img = jnp.moveaxis(img, 2, 1).reshape((ty_n * tile, tx_n * tile) + c)
+        return img[:h, :w]
+
+    color_img = tiles_to_image(colors.reshape(n_tiles, tile, tile, 3))
+    depth_img = tiles_to_image(depths.reshape(n_tiles, tile, tile))
+    alpha_img = tiles_to_image(alphas.reshape(n_tiles, tile, tile))
+
+    if need_touched:
+        cnt = jnp.zeros((n + 1,), jnp.int32).at[binning.idx_table.reshape(-1)].add(
+            touch.reshape(-1).astype(jnp.int32)
+        )
+        n_touched = cnt[:n]
+    else:
+        n_touched = jnp.zeros((n,), jnp.int32)
+
+    return RenderOutput(
+        color=color_img,
+        depth=depth_img,
+        alpha=alpha_img,
+        n_touched=n_touched,
+        radii=proj.radii,
+        visible=proj.radii > 0.0,
+        dup_overflow=binning.dup_overflow,
+        tile_overflow=binning.tile_overflow,
+    )
 
 
 def render_tiled(
@@ -54,137 +269,21 @@ def render_tiled(
     scale_modifier: float = 1.0,
     isotropic: bool = False,
     need_touched: bool = True,
+    binning: Binning | None = None,
 ) -> RenderOutput:
+    """Project + bin + composite (rebinning every call unless one is given)."""
     proj = project_gaussians(
         params, active, T_w2c, intr, sh_degree, scale_modifier, isotropic
     )
     means2d = proj.means2d
     if means2d_probe is not None:
         means2d = means2d + means2d_probe
-
-    n = means2d.shape[0]
-    h, w = intr.height, intr.width
-    tile = config.tile
-    tx_n = -(-w // tile)
-    ty_n = -(-h // tile)
-    n_tiles = tx_n * ty_n
-    l_max = config.max_per_tile
     if bg_color is None:
         bg_color = jnp.zeros((3,), means2d.dtype)
-
-    # ---- 1 global depth order --------------------------------------------
-    sort_depth = jnp.where(proj.valid, proj.depth, jnp.inf)
-    order = jnp.argsort(sort_depth)
-    mu = means2d[order]
-    con = proj.conic[order]
-    col = proj.color[order]
-    opa = proj.opacity[order]
-    z = proj.depth[order]
-    rad = proj.radii[order]
-    val = proj.valid[order]
-
-    # ---- 2 tile spans + duplicated entries --------------------------------
-    m = jax.lax.stop_gradient(mu)
-    r = jax.lax.stop_gradient(rad)
-    tx0 = jnp.clip(jnp.floor((m[:, 0] - r) / tile), 0, tx_n - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((m[:, 0] + r) / tile), 0, tx_n - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((m[:, 1] - r) / tile), 0, ty_n - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((m[:, 1] + r) / tile), 0, ty_n - 1).astype(jnp.int32)
-    wrect = tx1 - tx0 + 1
-    span = wrect * (ty1 - ty0 + 1)
-    span_cap = jnp.minimum(span, config.k_dup)
-    dup_overflow = jnp.where(val, span - span_cap, 0).sum().astype(jnp.int32)
-
-    ks = jnp.arange(config.k_dup, dtype=jnp.int32)
-    within = (ks[None, :] < span_cap[:, None]) & val[:, None]
-    tyk = ty0[:, None] + ks[None, :] // wrect[:, None]
-    txk = tx0[:, None] + ks[None, :] % wrect[:, None]
-    tid = jnp.where(within, tyk * tx_n + txk, n_tiles)  # (N, K); sentinel last
-    gidx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], tid.shape
-    )  # index into depth-sorted arrays
-
-    flat_tid = tid.reshape(-1)
-    flat_gidx = gidx.reshape(-1)
-    nk = flat_tid.shape[0]
-
-    # ---- 3 stable sort by tile id (preserves in-tile depth order) ---------
-    sorted_tid, sorted_gidx = jax.lax.sort(
-        (flat_tid, flat_gidx), num_keys=1, is_stable=True
-    )
-
-    # ---- 4 per-tile segment table by gather -------------------------------
-    starts = jnp.searchsorted(
-        sorted_tid, jnp.arange(n_tiles + 1, dtype=jnp.int32)
-    )  # (T+1,)
-    seg_len = starts[1:] - starts[:-1]  # (T,)
-    counts = jnp.minimum(seg_len, l_max).astype(jnp.int32)
-    tile_overflow = jnp.maximum(seg_len - l_max, 0).sum().astype(jnp.int32)
-
-    offs = jnp.arange(l_max, dtype=jnp.int32)
-    pos = starts[:-1, None] + offs[None, :]  # (T, L)
-    in_seg = offs[None, :] < counts[:, None]
-    idx_table = jnp.where(
-        in_seg, sorted_gidx[jnp.clip(pos, 0, nk - 1)], n
-    )  # sentinel row n
-
-    # ---- 5 gather per-tile properties (sentinel row n => alpha 0) ---------
-    props = jnp.concatenate(
-        [mu, con, col, opa[:, None], z[:, None]], axis=-1
-    )  # (N, 10)
-    props = jnp.concatenate([props, jnp.zeros((1, 10), props.dtype)], axis=0)
-    t_props = props[idx_table]  # (T, L, 10)
-
-    use_pallas = config.use_pallas and not need_touched
-    if use_pallas:
-        color_t, depth_t, alpha_t = blend_tiles_pallas(
-            t_props,
-            counts,
-            tx_n,
-            tile,
-            config.alpha_clamp,
-            config.alpha_min,
-            config.transmittance_min,
-        )  # (T, 3, P), (T, P), (T, P)
-        colors = jnp.swapaxes(color_t, 1, 2)  # (T, P, 3)
-        depths, alphas = depth_t, alpha_t
-        colors = colors + (1.0 - alphas[..., None]) * bg_color
-        touch = jnp.zeros((n_tiles, l_max), jnp.int32)
-    else:
-        colors, depths, alphas, touch = _blend_xla(
-            t_props, config, tile, tx_n, n_tiles, bg_color
-        )
-
-    p = tile * tile
-
-    def tiles_to_image(x):
-        c = x.shape[3:]  # x: (n_tiles, tile, tile, *c)
-        img = x.reshape((ty_n, tx_n, tile, tile) + c)
-        img = jnp.moveaxis(img, 2, 1).reshape((ty_n * tile, tx_n * tile) + c)
-        return img[:h, :w]
-
-    color_img = tiles_to_image(colors.reshape(n_tiles, tile, tile, 3))
-    depth_img = tiles_to_image(depths.reshape(n_tiles, tile, tile))
-    alpha_img = tiles_to_image(alphas.reshape(n_tiles, tile, tile))
-
-    # ---- n_touched back to original Gaussian order -------------------------
-    if need_touched:
-        cnt = jnp.zeros((n + 1,), jnp.int32).at[idx_table.reshape(-1)].add(
-            touch.reshape(-1).astype(jnp.int32)
-        )
-        n_touched = jnp.zeros((n,), jnp.int32).at[order].set(cnt[:n])
-    else:
-        n_touched = jnp.zeros((n,), jnp.int32)
-
-    return RenderOutput(
-        color=color_img,
-        depth=depth_img,
-        alpha=alpha_img,
-        n_touched=n_touched,
-        radii=proj.radii,
-        visible=proj.radii > 0.0,
-        dup_overflow=dup_overflow,
-        tile_overflow=tile_overflow,
+    if binning is None:
+        binning = build_binning(proj, intr, config)
+    return render_binned(
+        proj, means2d, binning, intr, bg_color, config, need_touched
     )
 
 
