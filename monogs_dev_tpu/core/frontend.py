@@ -136,6 +136,7 @@ class FrontEnd:
         seed: int = 1,
         save_dir: Optional[str] = None,
         throttle: bool = False,
+        viz_channel=None,
     ):
         self.config = config
         self.dataset = dataset
@@ -146,6 +147,8 @@ class FrontEnd:
         self.raster_cfg = raster_cfg
         self.save_dir = save_dir
         self.throttle = throttle
+        self.viz_channel = viz_channel
+        self.paused = False
 
         training = config["Training"]
         self.monocular = step_cfg.monocular
@@ -332,6 +335,19 @@ class FrontEnd:
             tic = time.time()
             self._drain_frontend_queue()
 
+            # GUI pause channel (slam_frontend.py:333-343)
+            if self.viz_channel is not None:
+                ctrl = self.viz_channel.poll_control()
+                if ctrl is not None and ctrl.flag_pause != self.paused:
+                    self.paused = ctrl.flag_pause
+                    if self.backend_thread is not None:
+                        self.backend_thread.backend_queue.put(
+                            ["pause" if self.paused else "unpause"]
+                        )
+                if self.paused:
+                    time.sleep(0.01)
+                    continue
+
             if self.requested_init:
                 self._drain_frontend_queue(block=False)
                 time.sleep(0.005)
@@ -361,6 +377,22 @@ class FrontEnd:
                 T_gt,
                 np.asarray(track.exposure_ab),
             )
+
+            if self.viz_channel is not None:
+                from ..viz.snapshot import GaussianPacket
+
+                params, active = self.snapshot
+                self.viz_channel.publish(
+                    GaussianPacket.from_map(
+                        params,
+                        active,
+                        current_frame_T=np.asarray(track.T_w2c),
+                        gt_color=np.asarray(image),
+                        keyframe_poses=[
+                            self.cameras[i].T_est for i in self.current_window
+                        ],
+                    )
+                )
 
             if self.requested_keyframe > 0:
                 cur_frame_idx += 1

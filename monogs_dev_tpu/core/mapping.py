@@ -114,7 +114,9 @@ class _Carry(NamedTuple):
         "use_depth",
         "init_mode",
     ),
-    donate_argnames=("gmap", "kf_state"),
+    # NOTE: no buffer donation — the frontend holds a live snapshot of the
+    # map params for tracking (backend.py push_to_frontend); donating gmap
+    # here would invalidate those buffers mid-track in threaded mode.
 )
 def mapping_iterations(
     gmap: GaussianMap,
@@ -377,9 +379,7 @@ def harvest_visibility(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("prune_mode", "monocular"), donate_argnames=("gmap",)
-)
+@functools.partial(jax.jit, static_argnames=("prune_mode", "monocular"))
 def visibility_prune(
     gmap: GaussianMap,
     visibility: jnp.ndarray,  # (B, N) occ-aware visibility of window slots

@@ -74,6 +74,11 @@ class SLAM:
         self.backend_thread = (
             None if self.single_thread else BackendThread(self.engine)
         )
+        self.viz_channel = None
+        if config["Results"].get("use_gui", False):
+            from ..viz.snapshot import VizChannel
+
+            self.viz_channel = VizChannel()
         self.frontend = FrontEnd(
             config,
             self.dataset,
@@ -85,6 +90,7 @@ class SLAM:
             seed=seed + 1,
             save_dir=save_dir,
             throttle=self.live_mode,
+            viz_channel=self.viz_channel,
         )
         self.fps: float = 0.0
 

@@ -1,0 +1,108 @@
+"""System-level tests: end-to-end SLAM on tiny synthetic scenes, the
+threaded frontend/backend split, and the viz snapshot protocol."""
+
+import os
+
+import numpy as np
+import pytest
+
+from monogs_dev_tpu.core.system import SLAM
+from monogs_dev_tpu.utils.config import load_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tiny_config(**overrides):
+    cfg = load_config(os.path.join(REPO, "configs/synthetic/tiny_rgbd.yaml"))
+    for key, value in overrides.items():
+        group, name = key.split(".")
+        cfg[group][name] = value
+    return cfg
+
+
+class TestSingleThreadE2E:
+    def test_runs_and_maps(self):
+        cfg = tiny_config()
+        slam = SLAM(cfg, save_dir=None)
+        slam.run(max_frames=10)
+        e, fe = slam.engine, slam.frontend
+        assert len(fe.kf_indices) >= 1
+        assert int(np.asarray(e.gmap.aux.active).sum()) > 50
+        # all tracked poses recorded and finite
+        assert len(fe.cameras) == 10
+        for cam in fe.cameras.values():
+            assert np.all(np.isfinite(cam.T_est))
+        slam.stop()
+
+    def test_evaluate_emits_metrics(self, tmp_path):
+        cfg = tiny_config()
+        cfg["Training"]["refinement_itr_num"] = 5
+        slam = SLAM(cfg, save_dir=str(tmp_path))
+        slam.run(max_frames=8)
+        results = slam.evaluate(eval_rendering_flag=True)
+        assert np.isfinite(results["ate"])
+        assert np.isfinite(results["before_opt"]["mean_psnr"])
+        assert results["n_keyframes"] >= 1
+        # artifacts written
+        assert os.path.exists(tmp_path / "plot")
+        assert os.path.exists(tmp_path / "point_cloud" / "final" / "point_cloud.ply")
+        slam.stop()
+
+
+class TestThreadedMode:
+    def test_frontend_backend_threads(self):
+        cfg = tiny_config()
+        cfg["Training"]["single_thread"] = False
+        slam = SLAM(cfg, save_dir=None)
+        assert slam.backend_thread is not None
+        slam.run(max_frames=8)
+        assert len(slam.frontend.kf_indices) >= 1
+        assert int(np.asarray(slam.engine.gmap.aux.active).sum()) > 0
+        slam.stop()
+        assert not slam.backend_thread.is_alive()
+
+
+class TestVizChannel:
+    def test_latest_wins_and_pause(self):
+        from monogs_dev_tpu.viz import GaussianPacket, VizChannel
+
+        ch = VizChannel(maxsize=2)
+        for i in range(5):
+            ch.publish(GaussianPacket(xyz=np.zeros((i + 1, 3))))
+        packet = ch.latest()
+        assert packet is not None and packet.xyz.shape[0] == 5
+        assert ch.latest() is None  # drained
+
+        ch.request_pause(True)
+        ctrl = ch.poll_control()
+        assert ctrl is not None and ctrl.flag_pause
+        assert ch.poll_control() is None
+
+    def test_packet_from_map(self):
+        import jax
+
+        from monogs_dev_tpu.data.synthetic import make_synthetic_scene
+        from monogs_dev_tpu.viz import GaussianPacket
+
+        params, active = make_synthetic_scene(jax.random.PRNGKey(0), n=32)
+        packet = GaussianPacket.from_map(params, active)
+        assert packet.xyz.shape == (32, 3)
+        assert packet.rgb.min() >= 0.0 and packet.rgb.max() <= 1.0
+
+    def test_render_view_modes(self):
+        import jax
+
+        from monogs_dev_tpu.data.synthetic import make_synthetic_scene
+        from monogs_dev_tpu.models.camera import Intrinsics
+        from monogs_dev_tpu.ops import RasterConfig
+        from monogs_dev_tpu.viz import render_view
+
+        params, active = make_synthetic_scene(jax.random.PRNGKey(0), n=64)
+        intr = Intrinsics(fx=40.0, fy=40.0, cx=16.0, cy=16.0, width=32, height=32)
+        cfg = RasterConfig(max_per_tile=64, k_dup=4, tile_group=4)
+        for mode in ("color", "depth", "opacity"):
+            img = render_view(
+                params, active, np.eye(4), intr, mode=mode, raster_cfg=cfg
+            )
+            assert img.shape == (32, 32, 3)
+            assert np.all(np.isfinite(img))
