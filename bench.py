@@ -17,6 +17,9 @@ import time
 
 
 def main() -> None:
+    from monogs_dev_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from monogs_dev_tpu.core.system import SLAM
     from monogs_dev_tpu.utils.config import load_config
 

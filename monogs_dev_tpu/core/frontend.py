@@ -443,6 +443,12 @@ class FrontEnd:
                         "map, resetting."
                     )
                     continue
+                overflow = int(track.tile_overflow)
+                if overflow > 0:
+                    Log(
+                        f"raster tile-list overflow: {overflow} entries "
+                        f"dropped (raise TPU.max_per_tile)", tag="MonoGS-TPU",
+                    )
                 depth_map = self.make_keyframe_depth(image, depth, track)
                 kf = Keyframe(
                     idx=cur_frame_idx,

@@ -173,6 +173,7 @@ def mapping_iterations(
             initialization=False,  # exposure gating handled via app_exp
             alpha=cfg.alpha,
             rgb_boundary_threshold=cfg.rgb_boundary_threshold,
+            render_opacity=out.alpha,
         )
         loss_noexp = mapping_loss(
             out.color,
@@ -184,6 +185,7 @@ def mapping_iterations(
             initialization=True,
             alpha=cfg.alpha,
             rgb_boundary_threshold=cfg.rgb_boundary_threshold,
+            render_opacity=out.alpha,
         )
         loss = jnp.where(app_exp, loss, loss_noexp) * valid.astype(jnp.float32)
         return loss, out.radii

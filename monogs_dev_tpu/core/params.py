@@ -32,8 +32,8 @@ class StepConfig:
     # TPU binning reuse during tracking: rebin every `rebin_every` iterations
     # with tile rectangles dilated by `rebin_dilation` pixels (pose drift
     # margin). rebin_every=1 reproduces CUDA per-iteration binning exactly.
-    rebin_every: int = 10
-    rebin_dilation: float = 24.0
+    rebin_every: int = 8
+    rebin_dilation: float = 0.0
 
     @staticmethod
     def from_config(config) -> "StepConfig":

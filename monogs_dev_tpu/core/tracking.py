@@ -45,6 +45,8 @@ class TrackResult(NamedTuple):
     opacity: jnp.ndarray  # (H, W)
     n_touched: jnp.ndarray  # (N,) int32
     median_depth: jnp.ndarray  # ()
+    dup_overflow: jnp.ndarray  # () binning telemetry from the final render
+    tile_overflow: jnp.ndarray  # ()
 
 
 class _Carry(NamedTuple):
@@ -163,4 +165,6 @@ def track_frame(
         opacity=out.alpha,
         n_touched=out.n_touched,
         median_depth=med,
+        dup_overflow=out.dup_overflow,
+        tile_overflow=out.tile_overflow,
     )

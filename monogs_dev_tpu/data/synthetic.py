@@ -28,7 +28,7 @@ def make_synthetic_scene(
     n: int = 2000,
     extent: float = 2.0,
     z_range: tuple = (2.0, 6.0),
-    scale: float = 0.06,
+    scale: float = 0.08,
     sh_degree: int = 0,
 ):
     ks = jax.random.split(key, 5)
@@ -49,7 +49,7 @@ def make_synthetic_scene(
         f_rest=jnp.zeros((n, r, 3)),
         log_scales=jnp.full((n, 3), jnp.log(scale)),
         quats=quats / jnp.linalg.norm(quats, axis=-1, keepdims=True),
-        opacity_logit=jnp.full((n,), inverse_sigmoid(jnp.float32(0.85))),
+        opacity_logit=jnp.full((n,), inverse_sigmoid(jnp.float32(0.95))),
     )
     return params, jnp.ones((n,), bool)
 

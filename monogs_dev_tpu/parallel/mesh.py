@@ -72,6 +72,7 @@ def dp_mapping_step(
                 initialization=True,
                 alpha=cfg.alpha,
                 rgb_boundary_threshold=cfg.rgb_boundary_threshold,
+                render_opacity=out.alpha,
             )
             return loss * v.astype(jnp.float32)
 

@@ -162,7 +162,11 @@ def tracking_loss(
     l1_rgb = render_opacity[..., None] * jnp.abs(image_ab - gt_image)
     rgb_term = _masked_mean(l1_rgb, rgb_pixel_mask)
     depth_mask = (gt_depth > 0.0) & (render_opacity > 0.95) & grad_mask
-    l1_depth = jnp.abs(render_depth - gt_depth)
+    # alpha-normalized expected depth: the raw accumulation Sum(w z) is
+    # biased low by (1 - alpha) even at the true pose; normalization is
+    # exact at saturation and removes the bias where alpha < 1
+    depth_n = render_depth / jnp.maximum(render_opacity, 1e-5)
+    l1_depth = jnp.abs(depth_n - gt_depth)
     depth_term = _masked_mean(l1_depth, depth_mask)
     return alpha * rgb_term + (1.0 - alpha) * depth_term
 
@@ -177,6 +181,7 @@ def mapping_loss(
     initialization: bool = False,
     alpha: float = 0.95,
     rgb_boundary_threshold: float = 0.01,
+    render_opacity: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-frame mapping loss (slam_utils.py:91-128)."""
     image_ab = render_color if initialization else apply_exposure(render_color, exposure_ab)
@@ -185,6 +190,9 @@ def mapping_loss(
         return _masked_mean(jnp.abs(image_ab - gt_image), rgb_pixel_mask)
     rgb_term = _masked_mean(jnp.abs(image_ab - gt_image), rgb_pixel_mask)
     depth_mask = gt_depth > 0.0
+    if render_opacity is not None:
+        # see tracking_loss: alpha-normalized expected depth
+        render_depth = render_depth / jnp.maximum(render_opacity, 1e-5)
     depth_term = _masked_mean(jnp.abs(render_depth - gt_depth), depth_mask)
     return alpha * rgb_term + (1.0 - alpha) * depth_term
 

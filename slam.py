@@ -17,6 +17,9 @@ from monogs_dev_tpu.utils.logging import Log
 
 
 def main() -> int:
+    from monogs_dev_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--eval", action="store_true")

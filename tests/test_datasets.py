@@ -1,0 +1,152 @@
+"""Dataset loader tests against on-disk fixtures (no real data needed)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from monogs_dev_tpu.data.datasets import (
+    TUMDataset,
+    ReplicaDataset,
+    RealsenseReplayDataset,
+    load_dataset,
+)
+from monogs_dev_tpu.data.synthetic import SyntheticDataset
+from monogs_dev_tpu.utils.config import DotDict
+
+
+def _calib(w=32, h=24, depth_scale=5000.0):
+    return {
+        "fx": 30.0, "fy": 30.0, "cx": w / 2, "cy": h / 2,
+        "k1": 0.0, "k2": 0.0, "p1": 0.0, "p2": 0.0, "k3": 0.0,
+        "width": w, "height": h, "depth_scale": depth_scale,
+        "distorted": False,
+    }
+
+
+def _write_png(path, arr):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+class TestTUM:
+    @pytest.fixture
+    def tum_dir(self, tmp_path):
+        root = tmp_path / "tum"
+        rng = np.random.default_rng(0)
+        rgb_lines, depth_lines, gt_lines = [], ["# depth"], ["# gt", "# cols"]
+        for i in range(6):
+            ts = 100.0 + i * 0.1
+            _write_png(
+                str(root / "rgb" / f"{ts:.4f}.png"),
+                rng.integers(0, 255, (24, 32, 3), dtype=np.uint8),
+            )
+            _write_png(
+                str(root / "depth" / f"{ts:.4f}.png"),
+                (rng.uniform(0.5, 3.0, (24, 32)) * 5000).astype(np.uint16),
+            )
+            rgb_lines.append(f"{ts:.4f} rgb/{ts:.4f}.png")
+            depth_lines.append(f"{ts:.4f} depth/{ts:.4f}.png")
+            gt_lines.append(f"{ts:.4f} {0.1*i} 0.0 0.0 0.0 0.0 0.0 1.0")
+        (root / "rgb.txt").write_text("# rgb\n" + "\n".join(rgb_lines))
+        (root / "depth.txt").write_text("\n".join(depth_lines))
+        (root / "groundtruth.txt").write_text("\n".join(gt_lines))
+        return str(root)
+
+    def test_load_and_associate(self, tum_dir):
+        config = DotDict.wrap(
+            {"Dataset": {"type": "tum", "dataset_path": tum_dir, "Calibration": _calib()}}
+        )
+        ds = TUMDataset(config)
+        assert len(ds) == 6  # 10 Hz < 32 Hz, so nothing subsampled
+        image, depth, pose = ds[2]
+        assert image.shape == (24, 32, 3) and image.dtype == np.float32
+        assert image.max() <= 1.0
+        assert depth.shape == (24, 32)
+        assert 0.4 < depth.mean() < 3.1  # depth_scale applied
+        # GT is C2W (translation x = 0.2) inverted to W2C
+        np.testing.assert_allclose(pose[:3, 3], [-0.2, 0.0, 0.0], atol=1e-6)
+
+
+class TestReplica:
+    @pytest.fixture
+    def replica_dir(self, tmp_path):
+        root = tmp_path / "replica"
+        rng = np.random.default_rng(1)
+        lines = []
+        for i in range(4):
+            _write_png(
+                str(root / "results" / f"frame{i:06d}.jpg"),
+                rng.integers(0, 255, (24, 32, 3), dtype=np.uint8),
+            )
+            _write_png(
+                str(root / "results" / f"depth{i:06d}.png"),
+                (rng.uniform(0.5, 3.0, (24, 32)) * 6553.5).astype(np.uint16),
+            )
+            c2w = np.eye(4)
+            c2w[:3, 3] = [0.0, 0.1 * i, 0.0]
+            lines.append(" ".join(str(v) for v in c2w.reshape(-1)))
+        (root / "traj.txt").write_text("\n".join(lines))
+        return str(root)
+
+    def test_load(self, replica_dir):
+        config = DotDict.wrap(
+            {
+                "Dataset": {
+                    "type": "replica",
+                    "dataset_path": replica_dir,
+                    "Calibration": _calib(depth_scale=6553.5),
+                }
+            }
+        )
+        ds = ReplicaDataset(config)
+        assert len(ds) == 4
+        image, depth, pose = ds[3]
+        assert image.shape == (24, 32, 3)
+        np.testing.assert_allclose(pose[:3, 3], [0.0, -0.3, 0.0], atol=1e-6)
+
+
+class TestRealsenseReplay:
+    def test_replay(self, tmp_path):
+        rng = np.random.default_rng(2)
+        for i in range(3):
+            _write_png(
+                str(tmp_path / "color" / f"{i:05d}.png"),
+                rng.integers(0, 255, (24, 32, 3), dtype=np.uint8),
+            )
+        calib = _calib()
+        del calib["depth_scale"]
+        config = DotDict.wrap(
+            {
+                "Dataset": {
+                    "type": "realsense_replay",
+                    "dataset_path": str(tmp_path),
+                    "Calibration": calib,
+                }
+            }
+        )
+        ds = RealsenseReplayDataset(config)
+        assert len(ds) == 3
+        image, depth, pose = ds[0]
+        assert depth is None
+        np.testing.assert_allclose(pose, np.eye(4))
+
+
+class TestFactory:
+    def test_synthetic_factory(self):
+        from monogs_dev_tpu.utils.config import load_config
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg = load_config(os.path.join(repo, "configs/synthetic/tiny_rgbd.yaml"))
+        ds = load_dataset(cfg)
+        assert isinstance(ds, SyntheticDataset)
+        image, depth, pose = ds[0]
+        assert image.shape == (64, 80, 3)
+        assert depth is not None and depth.shape == (64, 80)
+        # depth is exact: backproject center pixels and re-render consistency
+        assert np.isfinite(depth[depth > 0]).all()
+
+    def test_unknown_type(self):
+        with pytest.raises(ValueError):
+            load_dataset(DotDict.wrap({"Dataset": {"type": "nope", "Calibration": _calib()}}))
