@@ -179,6 +179,7 @@ class FrontEnd:
         self.requested_keyframe = 0
         self.median_depth = 4.0
         self.cur_frame_idx = 0  # persistent: run() is resumable
+        self.metrics = None  # optional MetricsLogger injected by SLAM
         # frontend's render snapshot of the map (synced from backend)
         self.snapshot = (engine.gmap.params, engine.gmap.aux.active)
         self.ate_log: List[dict] = []
@@ -371,6 +372,15 @@ class FrontEnd:
             )
 
             track = self.tracking(cur_frame_idx, image, depth, grad_mask)
+            if self.metrics is not None:
+                self.metrics.log(
+                    {
+                        "tracking_iters": int(track.n_iters),
+                        "converged": bool(track.converged),
+                        "median_depth": self.median_depth,
+                    },
+                    step=cur_frame_idx,
+                )
             self.cameras[cur_frame_idx] = FrameInfo(
                 cur_frame_idx,
                 np.asarray(track.T_w2c),

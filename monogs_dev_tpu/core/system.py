@@ -21,6 +21,7 @@ from ..eval.rendering import eval_rendering, save_gaussians
 from ..models.camera import Intrinsics
 from ..ops.raster_types import RasterConfig
 from ..utils.logging import Log
+from ..utils.profiling import MetricsLogger, PhaseTimers
 from .backend import BackendEngine, BackendThread
 from .frontend import FrontEnd
 from .params import MapOptConfig, StepConfig
@@ -93,6 +94,9 @@ class SLAM:
             viz_channel=self.viz_channel,
         )
         self.fps: float = 0.0
+        self.timers = PhaseTimers()
+        self.metrics = MetricsLogger(save_dir)
+        self.frontend.metrics = self.metrics
 
     def run(self, max_frames: Optional[int] = None) -> None:
         if self.backend_thread is not None:
@@ -105,6 +109,7 @@ class SLAM:
         )
         self.fps = n / max(t1 - t0, 1e-9)
         Log(f"Total FPS: {self.fps:.3f}")
+        self.metrics.log({"fps": self.fps, "n_frames": n})
 
     def stop(self) -> None:
         if self.backend_thread is not None:
@@ -164,7 +169,21 @@ class SLAM:
                 iteration="after_opt",
             )
             save_gaussians(params, active, self.save_dir, "final", final=True)
+        self.metrics.log(results)
         return results
+
+    def save_checkpoint(self, path: Optional[str] = None) -> Optional[str]:
+        """Full-state checkpoint (map + moments + poses); see
+        utils/checkpoint.py. The reference is save-only PLY; this resumes."""
+        from ..utils.checkpoint import save_checkpoint
+
+        if path is None:
+            if self.save_dir is None:
+                return None
+            path = os.path.join(self.save_dir, "checkpoint.npz")
+        save_checkpoint(path, self.engine, self.frontend)
+        Log(f"checkpoint saved to {path}")
+        return path
 
 
 def make_save_dir(config, config_path: str) -> Optional[str]:

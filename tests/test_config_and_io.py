@@ -121,3 +121,42 @@ class TestATE:
             est.append(np.linalg.inv(T2))
         assert ate_rmse(est, gt, correct_scale=True) < 1e-6
         assert ate_rmse(est, gt, correct_scale=False) > 0.1
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from monogs_dev_tpu.models import create_map, insert_points
+        from monogs_dev_tpu.utils.checkpoint import save_checkpoint, load_map
+        from tests.test_gaussian_map import make_batch
+
+        class FakeKf:
+            def __init__(self):
+                self.T_w2c = jnp.eye(4)
+                self.exposure = jnp.array([0.1, -0.2])
+
+        class FakeEngine:
+            pass
+
+        e = FakeEngine()
+        gmap = create_map(16, 0)
+        gmap, _ = insert_points(gmap, make_batch(8, jax.random.PRNGKey(0)),
+                                jnp.ones(8, bool), kf_id=2)
+        e.gmap = gmap
+        e.iteration_count = 42
+        e.current_window = [5, 2]
+        e.initialized = True
+        e.viewpoints = {2: FakeKf(), 5: FakeKf()}
+
+        path = str(tmp_path / "ckpt.npz")
+        save_checkpoint(path, e)
+        loaded, host = load_map(path)
+        np.testing.assert_allclose(loaded.params.xyz, gmap.params.xyz)
+        np.testing.assert_array_equal(loaded.aux.active, gmap.aux.active)
+        np.testing.assert_allclose(loaded.moments.mu.xyz, gmap.moments.mu.xyz)
+        assert host["iteration_count"] == 42
+        assert host["current_window"] == [5, 2]
+        assert host["kf_ids"] == [2, 5]
+        np.testing.assert_allclose(host["kf_exposure"][0], [0.1, -0.2], atol=1e-7)
