@@ -47,6 +47,7 @@ class StepConfig:
             tracking_max_iters=int(training.get("tracking_itr_num", 100)),
             cam_trans_lr=float(training["lr"]["cam_trans_delta"]),
             cam_rot_lr=float(training["lr"]["cam_rot_delta"]),
+            exposure_lr=float(training["lr"].get("exposure", 0.01)),
             window_slots=int(training.get("window_size", 8)) + 2,
             pose_window=int(training.get("pose_window", 3)),
         )

@@ -28,7 +28,7 @@ def make_synthetic_scene(
     n: int = 2000,
     extent: float = 2.0,
     z_range: tuple = (2.0, 6.0),
-    scale: float = 0.08,
+    scale: float = 0.1,
     sh_degree: int = 0,
 ):
     ks = jax.random.split(key, 5)

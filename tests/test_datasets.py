@@ -150,3 +150,55 @@ class TestFactory:
     def test_unknown_type(self):
         with pytest.raises(ValueError):
             load_dataset(DotDict.wrap({"Dataset": {"type": "nope", "Calibration": _calib()}}))
+
+
+class TestStereoSGBM:
+    def test_disparity_to_depth(self, tmp_path):
+        """Shifted random-texture pair -> SGBM disparity -> metric depth."""
+        import cv2
+
+        from monogs_dev_tpu.data.datasets import StereoDataset
+
+        rng = np.random.default_rng(3)
+        w, h, disp = 256, 128, 16
+        # high-contrast block texture that SGBM's strict uniqueness accepts
+        cell = 4
+        blocks = rng.integers(0, 256, (h // cell + 1, (w + disp) // cell + 1))
+        base = np.kron(blocks, np.ones((cell, cell)))[: h, : w + disp]
+        base = base.astype(np.float32)
+        # left sees features at larger x: disparity = x_left - x_right = +disp
+        left = base[:, :-disp].astype(np.uint8)
+        right = base[:, disp:].astype(np.uint8)
+        _write_png(str(tmp_path / "left.png"), left)
+        _write_png(str(tmp_path / "right.png"), right)
+
+        calib = {
+            "cam0": {
+                "raw": dict(fx=100.0, fy=100.0, cx=w / 2, cy=h / 2,
+                            k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0),
+                "opt": dict(fx=100.0, fy=100.0, cx=w / 2, cy=h / 2),
+                "R": {"data": list(np.eye(3).reshape(-1))},
+            },
+            "cam1": {
+                "raw": dict(fx=100.0, fy=100.0, cx=w / 2, cy=h / 2,
+                            k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0),
+                "opt": dict(fx=100.0, fy=100.0, cx=w / 2, cy=h / 2),
+                "R": {"data": list(np.eye(3).reshape(-1))},
+            },
+            "distorted": False,
+            "width": w,
+            "height": h,
+        }
+        config = DotDict.wrap({"Dataset": {"Calibration": calib}})
+        ds = StereoDataset(config)
+        ds.color_paths = [str(tmp_path / "left.png")]
+        ds.color_paths_r = [str(tmp_path / "right.png")]
+        ds.poses = [np.eye(4)]
+        ds.num_imgs = 1
+        image, depth, pose = ds[0]
+        assert image.shape == (h, w, 3)
+        valid = depth > 0
+        assert valid.mean() > 0.1
+        expected = StereoDataset.BASELINE_FX / disp
+        med = np.median(depth[valid])
+        assert abs(med - expected) / expected < 0.2, (med, expected)
