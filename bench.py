@@ -27,7 +27,7 @@ def main() -> None:
     config["Dataset"]["sensor_type"] = "monocular"
     config["Results"]["save_results"] = False
 
-    n_warm, n_meas = 12, 30
+    n_warm, n_meas = 8, 15
     slam = SLAM(config, save_dir=None)
 
     # pre-render the synthetic GT frames so dataset synthesis is not timed

@@ -28,7 +28,7 @@ def make_synthetic_scene(
     n: int = 2000,
     extent: float = 2.0,
     z_range: tuple = (2.0, 6.0),
-    scale: float = 0.1,
+    scale: float = 0.06,
     sh_degree: int = 0,
 ):
     ks = jax.random.split(key, 5)
@@ -89,7 +89,9 @@ class SyntheticDataset(BaseDataset):
             width=self.width, height=self.height,
         )
         self.scene_params, self.scene_active = make_synthetic_scene(
-            jax.random.PRNGKey(seed), n=n_gauss
+            jax.random.PRNGKey(seed),
+            n=n_gauss,
+            scale=float(ds.get("gaussian_scale", 0.06)),
         )
         self.poses = [orbit_pose(i, self.num_imgs) for i in range(self.num_imgs)]
         self._raster_cfg = RasterConfig(max_per_tile=512, k_dup=16)
