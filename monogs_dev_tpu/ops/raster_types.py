@@ -26,6 +26,7 @@ class RasterConfig:
     k_dup: int = 16
     tile_group: int = 60
     use_pallas: bool = True  # Pallas blend on hot paths (no n_touched)
+    tight_cull: bool = True  # exact ellipse-vs-tile alpha culling in binning
 
     # blending constants (CUDA reference semantics)
     alpha_clamp: float = 0.99

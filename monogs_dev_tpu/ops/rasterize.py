@@ -103,6 +103,55 @@ def build_binning(
     tyk = ty0[:, None] + ks[None, :] // wrect[:, None]
     txk = tx0[:, None] + ks[None, :] % wrect[:, None]
     tid = jnp.where(within, tyk * tx_n + txk, n_tiles)  # (N, K)
+
+    if config.tight_cull:
+        # Exact per-(gaussian, tile) culling: the blend zeroes any
+        # alpha = opa * exp(-q) below alpha_min, so an entry whose *maximum*
+        # alpha over the tile's pixel box provably stays below alpha_min
+        # contributes nothing (color, transmittance, or n_touched) and can be
+        # dropped here bit-exactly. The loose radius box enumerates ~4/pi x
+        # more tiles than the ellipse covers (far more for anisotropic
+        # splats), and blend cost is linear in per-tile occupancy, so this is
+        # the cheapest big blend speedup. max alpha = opa * exp(-q_min) with
+        # q_min = min over the box of the conic quadratic: 0 if the mean is
+        # inside, else the min over the four edges (1D quadratics, critical
+        # point clamped). The box is pre-expanded by `dilate` so reuse across
+        # tracking iterations stays conservative for mean drift; a constant
+        # slack absorbs the (second-order) conic drift.
+        con = jax.lax.stop_gradient(proj.conic)[order]
+        opa = jax.lax.stop_gradient(proj.opacity)[order]
+        bx0 = (txk * tile).astype(jnp.float32) - dilate
+        bx1 = (txk * tile + (tile - 1)).astype(jnp.float32) + dilate
+        by0 = (tyk * tile).astype(jnp.float32) - dilate
+        by1 = (tyk * tile + (tile - 1)).astype(jnp.float32) + dilate
+        dx0 = bx0 - m[:, 0:1]
+        dx1 = bx1 - m[:, 0:1]
+        dy0 = by0 - m[:, 1:2]
+        dy1 = by1 - m[:, 1:2]
+        ca = con[:, 0:1]
+        cb = con[:, 1:2]
+        cc = con[:, 2:3]
+
+        def q(dx, dy):
+            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+        ca_s = jnp.maximum(ca, 1e-12)
+        cc_s = jnp.maximum(cc, 1e-12)
+        q_edges = jnp.minimum(
+            jnp.minimum(
+                q(dx0, jnp.clip(-cb * dx0 / cc_s, dy0, dy1)),
+                q(dx1, jnp.clip(-cb * dx1 / cc_s, dy0, dy1)),
+            ),
+            jnp.minimum(
+                q(jnp.clip(-cb * dy0 / ca_s, dx0, dx1), dy0),
+                q(jnp.clip(-cb * dy1 / ca_s, dx0, dx1), dy1),
+            ),
+        )
+        inside = (dx0 <= 0.0) & (dx1 >= 0.0) & (dy0 <= 0.0) & (dy1 >= 0.0)
+        q_min = jnp.where(inside, 0.0, q_edges)
+        q_thresh = jnp.log(jnp.maximum(opa, 1e-12) / config.alpha_min)[:, None]
+        slack = jnp.where(jnp.asarray(dilate) > 0, 0.5, 0.0)
+        tid = jnp.where(q_min <= q_thresh + slack, tid, n_tiles)
     nk = n * config.k_dup
 
     # stable sort entries by tile id; payload = entry id
