@@ -222,8 +222,15 @@ class BackendEngine:
         prune: bool = False,
         init_mode: bool = False,
         frames_to_optimize: Optional[int] = None,
+        harvest: bool = True,
     ) -> None:
-        """BackEnd.map equivalent (slam_backend.py:142-318), chunk-dispatched."""
+        """BackEnd.map equivalent (slam_backend.py:142-318), chunk-dispatched.
+
+        `harvest=False` skips the occ-aware-visibility render pass; callers
+        that immediately follow up with a harvesting call (idle-loop single
+        iterations, the pre-prune mapping burst) use it — visibility is only
+        consumed at sync/prune points, while the reference recomputes it per
+        iteration only because its renders emit n_touched anyway."""
         if not self.current_window:
             return
         if frames_to_optimize is None:
@@ -282,7 +289,7 @@ class BackendEngine:
             last_batch = out.batch
             remaining -= chunk
 
-        if last_batch is not None:
+        if last_batch is not None and harvest:
             visibility = harvest_visibility(
                 self.gmap, last_batch, self.bg_color, self.cfg, self.intr,
                 self.raster_cfg,
@@ -376,7 +383,11 @@ class BackendEngine:
                 iter_per_kf = self.mapping_itr_num
 
         self.kf_state = make_keyframe_opt_state(self.cfg.window_slots)
-        self.map(iters=iter_per_kf, frames_to_optimize=frames_to_optimize)
+        self.map(
+            iters=iter_per_kf,
+            frames_to_optimize=frames_to_optimize,
+            harvest=False,  # the prune call right below harvests
+        )
         self.map(iters=1, prune=True, frames_to_optimize=frames_to_optimize)
 
     def color_refinement(self, iterations: Optional[int] = None) -> None:
@@ -435,7 +446,7 @@ class BackendThread(threading.Thread):
             except queue.Empty:
                 if self.pause or not e.current_window or self.single_thread:
                     continue
-                e.map(iters=1)
+                e.map(iters=1, harvest=False)
                 self.last_sent += 1
                 if self.last_sent >= 10:
                     e.map(iters=10, prune=True)

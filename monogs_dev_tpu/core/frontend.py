@@ -160,6 +160,11 @@ class FrontEnd:
         self.kf_cutoff = float(training.get("kf_cutoff", 0.4))
         self.edge_threshold = float(training.get("edge_threshold", 1.1))
         self.single_thread = bool(training.get("single_thread", False))
+        # TPU extension (off by default for reference parity): seed tracking
+        # with a constant-velocity motion model instead of the previous pose
+        # (the reference starts from the prior pose alone,
+        # slam_frontend.py:129-130) — fewer tracking iterations per frame.
+        self.const_velocity = bool(training.get("const_velocity_init", False))
         self.save_trj = bool(config["Results"].get("save_trj", False))
         self.save_trj_kf_intv = int(config["Results"].get("save_trj_kf_intv", 10))
         self.per_block_mask = config["Dataset"]["type"] == "replica"
@@ -290,11 +295,15 @@ class FrontEnd:
 
     def tracking(self, cur_frame_idx: int, image, depth, grad_mask) -> TrackResult:
         prev = self.cameras[cur_frame_idx - 1]
+        T_init = prev.T_est
+        if self.const_velocity and (cur_frame_idx - 2) in self.cameras:
+            prev2 = self.cameras[cur_frame_idx - 2]
+            T_init = prev.T_est @ np.linalg.inv(prev2.T_est) @ prev.T_est
         params, active = self.snapshot
         result = track_frame(
             params,
             active,
-            jnp.asarray(prev.T_est, jnp.float32),
+            jnp.asarray(T_init, jnp.float32),
             jnp.zeros(2),
             image,
             depth if (self.use_depth and depth is not None) else jnp.zeros_like(image[..., 0]),

@@ -195,9 +195,20 @@ def mapping_iterations(
     def total_loss(params, taus, exps, probes, T_all, active):
         def one(args):
             tau, exp_ab, probe, img, dep, T0, valid, app_exp = args
-            return frame_loss(
-                params, active, tau, exp_ab, probe, img, dep, T0, valid, app_exp
-            )
+
+            # lax.cond (a real runtime branch under lax.map's scan) skips the
+            # full render for empty batch slots — before the window fills,
+            # up to (slots - |window|)/slots of the mapping cost is padding.
+            def live(_):
+                return frame_loss(
+                    params, active, tau, exp_ab, probe, img, dep, T0, valid,
+                    app_exp,
+                )
+
+            def dead(_):
+                return jnp.zeros(()), jnp.zeros((n,))
+
+            return jax.lax.cond(valid, live, dead, None)
 
         losses, radii = jax.lax.map(
             one,
@@ -362,19 +373,28 @@ def harvest_visibility(
     poses — one n_touched render per slot (slam_backend.py:236-240). Called
     once per map() round, not per iteration."""
 
+    n = gmap.params.xyz.shape[0]
+
     def vis_frame(args):
         T0, valid, harvest = args
-        out = render_tiled(
-            gmap.params,
-            gmap.aux.active,
-            T0,
-            intr,
-            cfg.sh_degree,
-            bg_color,
-            raster_cfg,
-            need_touched=True,
-        )
-        return (out.n_touched > 0) & valid & harvest
+
+        def live(_):
+            out = render_tiled(
+                gmap.params,
+                gmap.aux.active,
+                T0,
+                intr,
+                cfg.sh_degree,
+                bg_color,
+                raster_cfg,
+                need_touched=True,
+            )
+            return out.n_touched > 0
+
+        def dead(_):
+            return jnp.zeros((n,), bool)
+
+        return jax.lax.cond(valid & harvest, live, dead, None)
 
     return jax.lax.map(
         vis_frame, (batch.T_w2c, batch.valid, batch.harvest_visibility)

@@ -30,10 +30,19 @@ class StepConfig:
     pose_window: int = 3
     pose_lr_scale: float = 0.5  # backend pose lr x0.5 (slam_backend.py:431-446)
     # TPU binning reuse during tracking: rebin every `rebin_every` iterations
-    # with tile rectangles dilated by `rebin_dilation` pixels (pose drift
-    # margin). rebin_every=1 reproduces CUDA per-iteration binning exactly.
+    # with tile boxes dilated by `rebin_dilation` pixels (pose drift margin).
+    # rebin_every=1 reproduces CUDA per-iteration binning exactly. The margin
+    # is essential with tight_cull: entries are trimmed exactly to the
+    # alpha_min ellipse, so un-margined reuse loses contributions at tile
+    # borders as the pose moves (was tolerable with loose radius boxes).
     rebin_every: int = 8
-    rebin_dilation: float = 0.0
+    rebin_dilation: float = 4.0
+    # TPU coarse-to-fine tracking (off by default for reference parity):
+    # `pyramid_levels` extra half-resolution levels run before the full-res
+    # loop (each costs ~1/4 per halving), capped at `pyramid_coarse_iters`
+    # iterations per coarse level.
+    pyramid_levels: int = 0
+    pyramid_coarse_iters: int = 60
 
     @staticmethod
     def from_config(config) -> "StepConfig":
@@ -50,6 +59,10 @@ class StepConfig:
             exposure_lr=float(training["lr"].get("exposure", 0.01)),
             window_slots=int(training.get("window_size", 8)) + 2,
             pose_window=int(training.get("pose_window", 3)),
+            pyramid_levels=int(training.get("tracking_pyramid_levels", 0)),
+            pyramid_coarse_iters=int(
+                training.get("tracking_pyramid_coarse_iters", 60)
+            ),
         )
 
 

@@ -57,7 +57,8 @@ def refine_chunk(
 
         def loss_fn(params):
             out = render_tiled(
-                params, g.aux.active, T, intr, cfg.sh_degree, bg_color, raster_cfg
+                params, g.aux.active, T, intr, cfg.sh_degree, bg_color,
+                raster_cfg, need_touched=False,
             )
             ll1 = l1_loss(out.color, img)
             return (1.0 - opt_cfg.lambda_dssim) * ll1 + opt_cfg.lambda_dssim * (

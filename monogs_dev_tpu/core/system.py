@@ -34,6 +34,8 @@ def raster_config_from(config) -> RasterConfig:
         max_per_tile=int(tpu.get("max_per_tile", 1024)),
         k_dup=int(tpu.get("k_dup", 16)),
         tile_group=int(tpu.get("tile_group", 60)),
+        use_pallas=bool(tpu.get("use_pallas", True)),
+        tight_cull=bool(tpu.get("tight_cull", True)),
     )
 
 

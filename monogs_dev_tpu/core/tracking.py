@@ -59,6 +59,45 @@ class _Carry(NamedTuple):
     converged: jnp.ndarray
 
 
+def _halve_image(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average pool, (H, W, C) or (H, W)."""
+    h, w = x.shape[:2]
+    c = x.shape[2:]
+    return x.reshape((h // 2, 2, w // 2, 2) + c).mean(axis=(1, 3))
+
+
+def _halve_depth(d: jnp.ndarray) -> jnp.ndarray:
+    """2x2 pool averaging only valid (> 0) depths."""
+    h, w = d.shape
+    blocks = d.reshape(h // 2, 2, w // 2, 2)
+    valid = (blocks > 0.0).astype(d.dtype)
+    n = valid.sum(axis=(1, 3))
+    return jnp.where(n > 0, blocks.sum(axis=(1, 3)) / jnp.maximum(n, 1.0), 0.0)
+
+
+def _halve_mask(m: jnp.ndarray) -> jnp.ndarray:
+    """2x2 any-pool for boolean masks."""
+    h, w = m.shape
+    return m.reshape(h // 2, 2, w // 2, 2).any(axis=(1, 3))
+
+
+def _scale_intrinsics(intr: Intrinsics, k: int) -> Intrinsics:
+    """Intrinsics after k 2x halvings. With the rasterizer's half-pixel
+    convention (pix = f x/z + c - 0.5, ops/project.py) a 2x2 average pool
+    maps exactly to (f/2, c/2)."""
+    s = 1 / (1 << k)
+    return Intrinsics(
+        fx=intr.fx * s,
+        fy=intr.fy * s,
+        cx=intr.cx * s,
+        cy=intr.cy * s,
+        width=intr.width >> k,
+        height=intr.height >> k,
+        znear=intr.znear,
+        zfar=intr.zfar,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("intr", "cfg", "raster_cfg", "use_depth")
 )
@@ -84,63 +123,86 @@ def track_frame(
         ]
     )
 
-    def loss_fn(tau, exp_ab, T, binning):
-        T_new = se3_exp(tau) @ T
-        proj = project_gaussians(params, active, T_new, intr, cfg.sh_degree)
-        out = render_binned(
-            proj, proj.means2d, binning, intr, bg_color, raster_cfg,
-            need_touched=False,
+    def run_level(carry, image_l, depth_l, mask_l, intr_l, max_iters):
+        """One pyramid level: Adam/retraction while_loop at this scale."""
+
+        def loss_fn(tau, exp_ab, T, binning):
+            T_new = se3_exp(tau) @ T
+            proj = project_gaussians(params, active, T_new, intr_l, cfg.sh_degree)
+            out = render_binned(
+                proj, proj.means2d, binning, intr_l, bg_color, raster_cfg,
+                need_touched=False,
+            )
+            return tracking_loss(
+                out.color,
+                out.depth,
+                out.alpha,
+                image_l,
+                depth_l if use_depth else None,
+                exp_ab,
+                mask_l,
+                cfg.monocular,
+                cfg.alpha,
+                cfg.rgb_boundary_threshold,
+            )
+
+        grad_fn = jax.grad(loss_fn, argnums=(0, 1))
+
+        def not_done(c: _Carry):
+            return (c.itr < max_iters) & ~c.converged
+
+        def body(c: _Carry, binning) -> _Carry:
+            g_tau, g_exp = grad_fn(jnp.zeros(6), c.exp_ab, c.T, binning)
+            g = jnp.concatenate([g_tau, g_exp])
+            count = c.count + 1
+            mu = _ADAM_B1 * c.mu + (1.0 - _ADAM_B1) * g
+            nu = _ADAM_B2 * c.nu + (1.0 - _ADAM_B2) * g * g
+            c1 = 1.0 - _ADAM_B1 ** count.astype(jnp.float32)
+            c2 = 1.0 - _ADAM_B2 ** count.astype(jnp.float32)
+            step = lr * (mu / c1) / (jnp.sqrt(nu / c2) + _ADAM_EPS)
+            tau_new = -step[:6]
+            exp_new = c.exp_ab - step[6:]
+            T_new = se3_exp(tau_new) @ c.T
+            converged = jnp.linalg.norm(tau_new) < cfg.convergence_threshold
+            return _Carry(T_new, exp_new, mu, nu, count, c.itr + 1, converged)
+
+        def outer_body(c: _Carry) -> _Carry:
+            # rebin at the current pose with a drift margin, then run up to
+            # rebin_every inner iterations against the fixed binning
+            proj = jax.lax.stop_gradient(
+                project_gaussians(params, active, c.T, intr_l, cfg.sh_degree)
+            )
+            binning = build_binning(
+                proj, intr_l, raster_cfg, dilate=cfg.rebin_dilation
+            )
+            start_itr = c.itr
+
+            def inner_cond(ci: _Carry):
+                return not_done(ci) & (ci.itr < start_itr + cfg.rebin_every)
+
+            return jax.lax.while_loop(
+                inner_cond, lambda ci: body(ci, binning), c
+            )
+
+        return jax.lax.while_loop(not_done, outer_body, carry)
+
+    # pyramid levels, coarse to fine. Level arrays are built by repeated
+    # exact 2x pooling; intrinsics scale with the half-pixel convention.
+    # cfg.pyramid_levels = 0 reproduces the reference's single full-res loop.
+    levels = []  # (image, depth, mask, intr, max_iters) coarse -> fine
+    img_l, dep_l, msk_l = image, depth_gt, grad_mask
+    levels.append((img_l, dep_l, msk_l, intr, cfg.tracking_max_iters))
+    for k in range(1, cfg.pyramid_levels + 1):
+        img_l = _halve_image(img_l)
+        dep_l = _halve_depth(dep_l)
+        msk_l = _halve_mask(msk_l)
+        levels.append(
+            (img_l, dep_l, msk_l, _scale_intrinsics(intr, k),
+             cfg.pyramid_coarse_iters)
         )
-        return tracking_loss(
-            out.color,
-            out.depth,
-            out.alpha,
-            image,
-            depth_gt if use_depth else None,
-            exp_ab,
-            grad_mask,
-            cfg.monocular,
-            cfg.alpha,
-            cfg.rgb_boundary_threshold,
-        )
+    levels.reverse()
 
-    grad_fn = jax.grad(loss_fn, argnums=(0, 1))
-
-    def not_done(c: _Carry):
-        return (c.itr < cfg.tracking_max_iters) & ~c.converged
-
-    def body(c: _Carry, binning) -> _Carry:
-        g_tau, g_exp = grad_fn(jnp.zeros(6), c.exp_ab, c.T, binning)
-        g = jnp.concatenate([g_tau, g_exp])
-        count = c.count + 1
-        mu = _ADAM_B1 * c.mu + (1.0 - _ADAM_B1) * g
-        nu = _ADAM_B2 * c.nu + (1.0 - _ADAM_B2) * g * g
-        c1 = 1.0 - _ADAM_B1 ** count.astype(jnp.float32)
-        c2 = 1.0 - _ADAM_B2 ** count.astype(jnp.float32)
-        step = lr * (mu / c1) / (jnp.sqrt(nu / c2) + _ADAM_EPS)
-        tau_new = -step[:6]
-        exp_new = c.exp_ab - step[6:]
-        T_new = se3_exp(tau_new) @ c.T
-        converged = jnp.linalg.norm(tau_new) < cfg.convergence_threshold
-        return _Carry(T_new, exp_new, mu, nu, count, c.itr + 1, converged)
-
-    def outer_body(c: _Carry) -> _Carry:
-        # rebin at the current pose with a drift margin, then run up to
-        # rebin_every inner iterations against the fixed binning
-        proj = jax.lax.stop_gradient(
-            project_gaussians(params, active, c.T, intr, cfg.sh_degree)
-        )
-        binning = build_binning(
-            proj, intr, raster_cfg, dilate=cfg.rebin_dilation
-        )
-        start_itr = c.itr
-
-        def inner_cond(ci: _Carry):
-            return not_done(ci) & (ci.itr < start_itr + cfg.rebin_every)
-
-        return jax.lax.while_loop(inner_cond, lambda ci: body(ci, binning), c)
-
-    init = _Carry(
+    carry = _Carry(
         T=T_init,
         exp_ab=exposure_init,
         mu=jnp.zeros(8),
@@ -149,7 +211,20 @@ def track_frame(
         itr=jnp.zeros((), jnp.int32),
         converged=jnp.zeros((), bool),
     )
-    final = jax.lax.while_loop(not_done, outer_body, init)
+    total_iters = jnp.zeros((), jnp.int32)
+    for li, (img_l, dep_l, msk_l, intr_l, max_iters) in enumerate(levels):
+        if li > 0:
+            # fresh optimizer state + iteration budget per level
+            carry = carry._replace(
+                mu=jnp.zeros(8),
+                nu=jnp.zeros(8),
+                count=jnp.zeros((), jnp.int32),
+                itr=jnp.zeros((), jnp.int32),
+                converged=jnp.zeros((), bool),
+            )
+        carry = run_level(carry, img_l, dep_l, msk_l, intr_l, max_iters)
+        total_iters = total_iters + carry.itr
+    final = carry._replace(itr=total_iters)
 
     out = render_tiled(
         params, active, final.T, intr, cfg.sh_degree, bg_color, raster_cfg

@@ -106,6 +106,7 @@ class SyntheticDataset(BaseDataset):
                 self.intr,
                 0,
                 config=self._raster_cfg,
+                need_touched=False,
             )
             color = np.clip(np.asarray(out.color), 0.0, 1.0).astype(np.float32)
             # normalized expected depth; 0 where nothing was hit

@@ -68,7 +68,7 @@ def eval_rendering(
         image_np, _, _ = dataset[idx]
         gt = jnp.asarray(image_np)
         T = jnp.asarray(cameras[idx].T_est, jnp.float32)
-        out = render_tiled(params, active, T, intr, sh_degree, config=raster_cfg)
+        out = render_tiled(params, active, T, intr, sh_degree, config=raster_cfg, need_touched=False)
         pred = jnp.clip(out.color, 0.0, 1.0)
         mask = gt.sum(axis=-1) > 0.0
         psnrs.append(float(psnr_fn(pred, gt, mask)))

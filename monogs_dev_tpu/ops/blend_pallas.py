@@ -29,10 +29,12 @@ accumulators S = sum_{j>i} w_j (f_j . gF) produce d(alpha) without storing
 per-entry weights. f packs [color(3), depth, 1] so color/depth/alpha-map
 cotangents share one path.
 
-The kernel deliberately does NOT emit n_touched: visibility harvesting
-happens on dedicated final renders via the XLA blend (the hot loops don't
-need it; the reference's opacity reset keys on radii > 0, not n_touched —
-slam_backend.py:300-305).
+The differentiable hot-loop kernel does NOT emit n_touched (the hot loops
+don't need it; the reference's opacity reset keys on radii > 0, not
+n_touched — slam_backend.py:300-305). Visibility renders (keyframe policy,
+occ-aware visibility) use the forward-only `blend_tiles_pallas_touch`
+variant, which additionally writes per-entry contributed-pixel counts —
+the Pallas replacement for the dense XLA blend on those paths.
 """
 
 from __future__ import annotations
@@ -109,6 +111,7 @@ def _blend_fwd_kernel(
     alpha_ref,  # VMEM (1, 1, P)
     tfinal_ref,  # VMEM (1, 1, P)
     neff_ref,  # VMEM (1, 8, 128) int32 — effective chunks (broadcast)
+    touch_ref=None,  # VMEM (1, 8, l_max) int32 — only when emit_touch
     *,
     tile: int,
     tx_n: int,
@@ -116,11 +119,14 @@ def _blend_fwd_kernel(
     alpha_clamp: float,
     alpha_min: float,
     t_min: float,
+    emit_touch: bool = False,
 ):
     p = tile * tile
     px, py = _pixel_grid(tile, tx_n)
     count = counts_sp[pl.program_id(0)]
     n_chunks = (count + CHUNK - 1) // CHUNK
+    if emit_touch:
+        touch_ref[0] = jnp.zeros((8, l_max), jnp.int32)
 
     def cond(carry):
         k, t_run, *_ = carry
@@ -132,7 +138,16 @@ def _blend_fwd_kernel(
         alpha = _chunk_alpha(chunk, px, py, alpha_clamp, alpha_min)
         incl, excl = _cumprods(1.0 - alpha)
         t_in = t_run * excl  # exclusive transmittance
-        w = jnp.where(t_in >= t_min, alpha * t_in, 0.0)  # (CHUNK, P)
+        contributing = t_in >= t_min
+        w = jnp.where(contributing, alpha * t_in, 0.0)  # (CHUNK, P)
+        if emit_touch:
+            cnt = jnp.sum(
+                ((alpha >= alpha_min) & contributing).astype(jnp.int32),
+                axis=1,
+            )  # (CHUNK,) pixels touched per entry
+            touch_ref[0, :, pl.ds(k * CHUNK, CHUNK)] = jnp.broadcast_to(
+                cnt.reshape(1, CHUNK), (8, CHUNK)
+            )
         col = chunk[:, 5:8]  # (CHUNK, 3)
         c_acc = c_acc + jnp.concatenate(
             [
@@ -298,8 +313,17 @@ def _forward(
     alpha_clamp: float,
     alpha_min: float,
     t_min: float,
+    emit_touch: bool = False,
 ):
     t, l_max, _ = props.shape
+    l_in = l_max
+    if l_max % CHUNK:
+        # chunked reads/writes need L to be a CHUNK multiple; padded entries
+        # have zero props and sit beyond every tile's count
+        l_max = -(-l_max // CHUNK) * CHUNK
+        props = jnp.concatenate(
+            [props, jnp.zeros((t, l_max - l_in, D_IN), props.dtype)], axis=1
+        )
     p = tile * tile
     kernel = functools.partial(
         _blend_fwd_kernel,
@@ -309,34 +333,42 @@ def _forward(
         alpha_clamp=alpha_clamp,
         alpha_min=alpha_min,
         t_min=t_min,
+        emit_touch=emit_touch,
     )
+    out_specs = [
+        pl.BlockSpec((1, 3, p), lambda i, c: (i, 0, 0)),
+        pl.BlockSpec((1, 1, p), lambda i, c: (i, 0, 0)),
+        pl.BlockSpec((1, 1, p), lambda i, c: (i, 0, 0)),
+        pl.BlockSpec((1, 1, p), lambda i, c: (i, 0, 0)),
+        pl.BlockSpec((1, 8, 128), lambda i, c: (i, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t, 3, p), jnp.float32),
+        jax.ShapeDtypeStruct((t, 1, p), jnp.float32),
+        jax.ShapeDtypeStruct((t, 1, p), jnp.float32),
+        jax.ShapeDtypeStruct((t, 1, p), jnp.float32),
+        jax.ShapeDtypeStruct((t, 8, 128), jnp.int32),
+    ]
+    if emit_touch:
+        out_specs.append(pl.BlockSpec((1, 8, l_max), lambda i, c: (i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((t, 8, l_max), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t,),
         in_specs=[
             pl.BlockSpec((1, l_max, D_IN), lambda i, c: (i, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 3, p), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, p), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, p), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, p), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 8, 128), lambda i, c: (i, 0, 0)),
-        ],
+        out_specs=out_specs,
     )
-    color, depth, alpha, tfinal, neff = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((t, 3, p), jnp.float32),
-            jax.ShapeDtypeStruct((t, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((t, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((t, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((t, 8, 128), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=_interpret(),
     )(counts, props)
-    return color, depth[:, 0], alpha[:, 0], tfinal[:, 0], neff
+    color, depth, alpha, tfinal, neff = outs[:5]
+    touch = outs[5][:, 0, :l_in] if emit_touch else None
+    return color, depth[:, 0], alpha[:, 0], tfinal[:, 0], neff, touch
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -353,14 +385,55 @@ def blend_tiles_pallas(
 
     Differentiable w.r.t. `props` only (counts is index data).
     """
-    color, depth, alpha, _, _ = _forward(
+    color, depth, alpha, _, _, _ = _forward(
         props, counts, tx_n, tile, alpha_clamp, alpha_min, t_min
     )
     return color, depth, alpha
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def blend_tiles_pallas_touch(
+    props: jnp.ndarray,
+    counts: jnp.ndarray,
+    tx_n: int,
+    tile: int = 16,
+    alpha_clamp: float = 0.99,
+    alpha_min: float = 1.0 / 255.0,
+    t_min: float = 1e-4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Blend that also emits per-entry touched-pixel counts (T, L) int32 —
+    the visibility-render path (keyframe policy, occ-aware visibility;
+    n_touched semantics of the CUDA rasterizer, SURVEY.md §2.9). Shares the
+    back-to-front replay VJP with `blend_tiles_pallas` (touch itself is
+    integer data, no cotangent)."""
+    color, depth, alpha, _, _, touch = _forward(
+        props, counts, tx_n, tile, alpha_clamp, alpha_min, t_min,
+        emit_touch=True,
+    )
+    return color, depth, alpha, touch
+
+
+def _fwd_rule_touch(props, counts, tx_n, tile, alpha_clamp, alpha_min, t_min):
+    color, depth, alpha, tfinal, neff, touch = _forward(
+        props, counts, tx_n, tile, alpha_clamp, alpha_min, t_min,
+        emit_touch=True,
+    )
+    return (color, depth, alpha, touch), (props, counts, tfinal, neff)
+
+
+def _bwd_rule_touch(tx_n, tile, alpha_clamp, alpha_min, t_min, residuals, cots):
+    g_color, g_depth, g_alpha, _ = cots  # touch cotangent is symbolic zero
+    return _bwd_rule(
+        tx_n, tile, alpha_clamp, alpha_min, t_min, residuals,
+        (g_color, g_depth, g_alpha),
+    )
+
+
+blend_tiles_pallas_touch.defvjp(_fwd_rule_touch, _bwd_rule_touch)
+
+
 def _fwd_rule(props, counts, tx_n, tile, alpha_clamp, alpha_min, t_min):
-    color, depth, alpha, tfinal, neff = _forward(
+    color, depth, alpha, tfinal, neff, _ = _forward(
         props, counts, tx_n, tile, alpha_clamp, alpha_min, t_min
     )
     return (color, depth, alpha), (props, counts, tfinal, neff)
@@ -370,6 +443,12 @@ def _bwd_rule(tx_n, tile, alpha_clamp, alpha_min, t_min, residuals, cotangents):
     props, counts, tfinal, neff = residuals
     g_color, g_depth, g_alpha = cotangents
     t, l_max, _ = props.shape
+    l_in = l_max
+    if l_max % CHUNK:
+        l_max = -(-l_max // CHUNK) * CHUNK
+        props = jnp.concatenate(
+            [props, jnp.zeros((t, l_max - l_in, D_IN), props.dtype)], axis=1
+        )
     p = tile * tile
     kernel = functools.partial(
         _blend_bwd_kernel,
@@ -409,7 +488,7 @@ def _bwd_rule(tx_n, tile, alpha_clamp, alpha_min, t_min, residuals, cotangents):
         g_depth[:, None, :],
         g_alpha[:, None, :],
     )
-    return d_props, None
+    return d_props[:, :l_in, :], None
 
 
 blend_tiles_pallas.defvjp(_fwd_rule, _bwd_rule)

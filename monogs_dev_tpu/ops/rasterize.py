@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from ..models.camera import Intrinsics
 from ..models.gaussians import GaussianParams
-from .blend_pallas import blend_tiles_pallas
+from .blend_pallas import blend_tiles_pallas, blend_tiles_pallas_touch
 from .project import project_gaussians, ProjectedGaussians
 from .raster_types import RasterConfig, RenderOutput
 
@@ -256,21 +256,31 @@ def render_binned(
     props_pad = jnp.concatenate([props, jnp.zeros((1, 10), props.dtype)], axis=0)
     t_props = _tile_gather(props_pad, binning.idx_table, binning.pos_table)
 
-    use_pallas = config.use_pallas and not need_touched
-    if use_pallas:
-        color_t, depth_t, alpha_t = blend_tiles_pallas(
-            t_props,
-            binning.counts,
-            tx_n,
-            tile,
-            config.alpha_clamp,
-            config.alpha_min,
-            config.transmittance_min,
-        )
+    if config.use_pallas:
+        if need_touched:
+            color_t, depth_t, alpha_t, touch = blend_tiles_pallas_touch(
+                t_props,
+                binning.counts,
+                tx_n,
+                tile,
+                config.alpha_clamp,
+                config.alpha_min,
+                config.transmittance_min,
+            )
+        else:
+            color_t, depth_t, alpha_t = blend_tiles_pallas(
+                t_props,
+                binning.counts,
+                tx_n,
+                tile,
+                config.alpha_clamp,
+                config.alpha_min,
+                config.transmittance_min,
+            )
+            touch = jnp.zeros((n_tiles, l_max), jnp.int32)
         colors = jnp.swapaxes(color_t, 1, 2)  # (T, P, 3)
         depths, alphas = depth_t, alpha_t
         colors = colors + (1.0 - alphas[..., None]) * bg_color
-        touch = jnp.zeros((n_tiles, l_max), jnp.int32)
     else:
         colors, depths, alphas, touch = _blend_xla(
             t_props, config, tile, tx_n, n_tiles, bg_color

@@ -60,7 +60,8 @@ def dp_mapping_step(
         def frame_loss(args):
             img, dep, T, v = args
             out = render_tiled(
-                params, active, T, intr, cfg.sh_degree, jnp.zeros(3), raster_cfg
+                params, active, T, intr, cfg.sh_degree, jnp.zeros(3),
+                raster_cfg, need_touched=False,
             )
             loss = mapping_loss(
                 out.color,
@@ -99,6 +100,9 @@ def dp_mapping_step(
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
+        # the Pallas blend's out_shape carries no varying-mesh-axes
+        # annotation; collectives here are explicit (psum above)
+        check_vma=False,
     )
 
     @jax.jit

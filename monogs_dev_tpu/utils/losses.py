@@ -101,6 +101,7 @@ def image_gradient_mask(image: jnp.ndarray, eps: float = 0.01):
     return mask[..., 0]
 
 
+@functools.partial(jax.jit, static_argnames=("edge_threshold", "per_block"))
 def compute_grad_mask(image: jnp.ndarray, edge_threshold: float, per_block: bool):
     """Scharr edge mask used by the tracking loss (camera_utils.py:114-143).
 
