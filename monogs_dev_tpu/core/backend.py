@@ -28,6 +28,7 @@ import numpy as np
 from ..models.camera import Intrinsics
 from ..models.gaussians import GaussianMap, create_map, insert_points
 from ..ops.raster_types import RasterConfig
+from ..utils.device_lock import DEVICE_LOCK
 from ..utils.logging import Log
 from .insertion import new_points_from_frame
 from .keyframe import Keyframe
@@ -102,7 +103,13 @@ class BackendEngine:
 
         self.use_depth = not self.cfg.monocular
         self.bg_color = jnp.zeros(3)
-        self.map_chunk = 10  # iterations per device program dispatch
+        tpu_grp = config.get("TPU", {}) or {}
+        self.map_chunk = int(tpu_grp.get("map_chunk", 10))  # iters per dispatch
+        # background mapping iterations per idle round (reference: 1 per
+        # idle loop pass, but it loops continuously on a dedicated GPU
+        # process — time-sliced on one chip this is a budget knob)
+        self.idle_iters = int(tpu_grp.get("idle_iters", 1))
+        self.idle_every = int(tpu_grp.get("idle_every", 1))  # frames/round
 
         self.rng = jax.random.PRNGKey(seed)
         self.reset()
@@ -133,30 +140,43 @@ class BackendEngine:
         downsample = self.pcd_downsample_init if init else self.pcd_downsample
         h, w = self.intr.height, self.intr.width
         budget = _next_pow2(max(int(2 * h * w / downsample), 256))
-        new_params, valid = new_points_from_frame(
-            self._split_rng(),
-            kf.image,
-            depth_map,
-            kf.exposure,
-            kf.T_w2c,
-            self.intr,
-            self.cfg.sh_degree,
-            budget,
-            downsample,
-            self.point_size,
-            self.adaptive_pointsize,
-        )
-        self.gmap, dropped = insert_points(self.gmap, new_params, valid, frame_idx)
-        self.telemetry["insert_dropped"] += int(dropped)
+        with DEVICE_LOCK:
+            new_params, valid = new_points_from_frame(
+                self._split_rng(),
+                kf.image,
+                depth_map,
+                kf.exposure,
+                kf.T_w2c,
+                self.intr,
+                self.cfg.sh_degree,
+                budget,
+                downsample,
+                self.point_size,
+                self.adaptive_pointsize,
+            )
+            self.gmap, dropped = insert_points(
+                self.gmap, new_params, valid, frame_idx
+            )
+            self.telemetry["insert_dropped"] += int(dropped)
         self.viewpoints[frame_idx] = kf
 
     # ----------------------------------------------------------- batch build
 
+    def _slot_tier(self) -> int:
+        """Static slot-count tier: the smallest of a few fixed sizes that
+        holds window + 2 random keyframes. Early phases (init, growing
+        window) then pay for 4 slots of binning/scan instead of the full
+        window_slots — each tier is its own compiled mapping program."""
+        need = min(len(self.current_window), self.cfg.window_slots - 2) + 2
+        # two tiers only — every tier is a separate ~1 min mapping compile
+        if need <= 4 or self.cfg.window_slots <= 4:
+            return min(4, self.cfg.window_slots) if self.cfg.window_slots < 4 else 4
+        return self.cfg.window_slots
+
     def _build_batch(
-        self, apply_exposure: bool, frames_to_optimize: int
+        self, apply_exposure: bool, frames_to_optimize: int, b: int
     ) -> tuple[KeyframeBatch, list[int]]:
         """Stack the current window + 2 random past keyframes into slots."""
-        b = self.cfg.window_slots
         window = list(self.current_window)[: b - 2]
         others = [i for i in self.viewpoints if i not in set(window)]
         rand: List[int] = []
@@ -235,8 +255,6 @@ class BackendEngine:
             return
         if frames_to_optimize is None:
             frames_to_optimize = self.pose_window
-        if self.kf_state is None:
-            self.kf_state = make_keyframe_opt_state(self.cfg.window_slots)
 
         if init_mode:
             update_every, update_offset = self.init_gaussian_update, 1
@@ -257,43 +275,60 @@ class BackendEngine:
         slot_ids: list[int] = []
         while remaining > 0:
             chunk = min(self.map_chunk, remaining)
-            batch, slot_ids = self._build_batch(
-                apply_exposure=not init_mode, frames_to_optimize=frames_to_optimize
+            # the device program reuses per-slot binnings for a whole chunk;
+            # end the chunk exactly ON the next densify/opacity-reset event
+            # so a topology change never renders against a stale binning
+            event = self._next_map_event(
+                self.iteration_count, update_every, update_offset,
+                reset_interval, init_mode,
             )
-            out = mapping_iterations(
-                self.gmap,
-                batch,
-                self.kf_state,
-                jnp.asarray(self.iteration_count, jnp.int32),
-                self._split_rng(),
-                self.bg_color,
-                jnp.float32(g_th),
-                jnp.float32(g_extent),
-                self.cfg,
-                self.opt_cfg,
-                self.intr,
-                self.raster_cfg,
-                iters=chunk,
-                update_every=update_every,
-                update_offset=update_offset,
-                reset_interval=reset_interval,
-                size_threshold=size_th,
-                use_depth=self.use_depth,
-                init_mode=init_mode,
-            )
-            self.gmap = out.gmap
-            self.kf_state = out.kf_state
-            self.iteration_count += chunk
-            self.telemetry["densify_dropped"] += int(out.n_dropped)
-            self._writeback(out.batch, slot_ids)
+            chunk = min(chunk, event - self.iteration_count)
+            tier = self._slot_tier()
+            if self.kf_state is None or self.kf_state.mu.shape[0] != tier:
+                self.kf_state = make_keyframe_opt_state(tier)
+            with DEVICE_LOCK:
+                batch, slot_ids = self._build_batch(
+                    apply_exposure=not init_mode,
+                    frames_to_optimize=frames_to_optimize,
+                    b=tier,
+                )
+                out = mapping_iterations(
+                    self.gmap,
+                    batch,
+                    self.kf_state,
+                    jnp.asarray(self.iteration_count, jnp.int32),
+                    self._split_rng(),
+                    self.bg_color,
+                    jnp.float32(g_th),
+                    jnp.float32(g_extent),
+                    self.cfg,
+                    self.opt_cfg,
+                    self.intr,
+                    self.raster_cfg,
+                    iters=chunk,
+                    update_every=update_every,
+                    update_offset=update_offset,
+                    reset_interval=reset_interval,
+                    size_threshold=size_th,
+                    use_depth=self.use_depth,
+                    init_mode=init_mode,
+                )
+                self.gmap = out.gmap
+                self.kf_state = out.kf_state
+                self.iteration_count += chunk
+                self.telemetry["densify_dropped"] += int(out.n_dropped)
+                self._writeback(out.batch, slot_ids)
+                jax.block_until_ready(self.gmap.params.xyz)
             last_batch = out.batch
             remaining -= chunk
 
         if last_batch is not None and harvest:
-            visibility = harvest_visibility(
-                self.gmap, last_batch, self.bg_color, self.cfg, self.intr,
-                self.raster_cfg,
-            )
+            with DEVICE_LOCK:
+                visibility = harvest_visibility(
+                    self.gmap, last_batch, self.bg_color, self.cfg, self.intr,
+                    self.raster_cfg,
+                )
+                visibility = np.asarray(visibility)
             # refresh occ-aware visibility from the last iteration
             for s, kf_idx in enumerate(slot_ids):
                 if s < len(self.current_window):
@@ -305,10 +340,29 @@ class BackendEngine:
             }
 
         if prune and len(self.current_window) == self.window_size:
-            self._visibility_prune()
+            with DEVICE_LOCK:
+                self._visibility_prune()
             if not self.initialized:
                 self.initialized = True
                 Log("Initialized SLAM")
+
+    @staticmethod
+    def _next_map_event(
+        start: int, update_every: int, update_offset: int,
+        reset_interval: int, init_mode: bool,
+    ) -> int:
+        """Smallest iteration > start where densify or opacity reset fires
+        (mapping_iterations' in-loop cadence, core/mapping.py)."""
+        k = (start - update_offset) // update_every * update_every + update_offset
+        while k <= start:
+            k += update_every
+        cands = [k]
+        if init_mode:
+            if start < reset_interval:
+                cands.append(reset_interval)
+        else:
+            cands.append((start // reset_interval + 1) * reset_interval)
+        return min(cands)
 
     def _visibility_prune(self) -> None:
         b = self.cfg.window_slots
@@ -352,7 +406,7 @@ class BackendEngine:
 
     def initialize_map(self, frame_idx: int) -> None:
         """initialize_map (slam_backend.py:86-140)."""
-        self.kf_state = make_keyframe_opt_state(self.cfg.window_slots)
+        self.kf_state = None  # sized to the slot tier inside map()
         self.map(
             iters=self.init_itr_num,
             init_mode=True,
@@ -382,13 +436,14 @@ class BackendEngine:
             else:
                 iter_per_kf = self.mapping_itr_num
 
-        self.kf_state = make_keyframe_opt_state(self.cfg.window_slots)
+        self.kf_state = None  # fresh Adam per keyframe, sized in map()
+        # reference: map(iter_per_kf) then map(prune=True) (one more
+        # iteration + prune, slam_backend.py:473-474) — fused into ONE call
+        # (one harvest, one prune) to halve per-dispatch overhead
         self.map(
-            iters=iter_per_kf,
+            iters=iter_per_kf + 1, prune=True,
             frames_to_optimize=frames_to_optimize,
-            harvest=False,  # the prune call right below harvests
         )
-        self.map(iters=1, prune=True, frames_to_optimize=frames_to_optimize)
 
     def color_refinement(self, iterations: Optional[int] = None) -> None:
         """Photometric-only refinement (slam_backend.py:320-353).
@@ -397,10 +452,11 @@ class BackendEngine:
         via Training.refinement_itr_num."""
         from .refinement import run_color_refinement
 
-        self.gmap, self.iteration_count = run_color_refinement(
-            self,
-            iterations=self.refinement_itr_num if iterations is None else iterations,
-        )
+        with DEVICE_LOCK:
+            self.gmap, self.iteration_count = run_color_refinement(
+                self,
+                iterations=self.refinement_itr_num if iterations is None else iterations,
+            )
 
     # ----------------------------------------------------------------- views
 
@@ -408,68 +464,134 @@ class BackendEngine:
         return {idx: np.asarray(kf.T_w2c) for idx, kf in self.viewpoints.items()}
 
 
-class BackendThread(threading.Thread):
-    """Reference-style message-driven backend running as a host thread.
+class _BackendProtocol:
+    """Shared reference message protocol
+    (init/keyframe/pause/unpause/color_refinement/stop,
+    slam_backend.py:384-477) over a backend_queue/frontend_queue pair, with
+    the reference's idle cadence: one background mapping iteration per idle
+    round, a 10-iteration prune pass + frontend sync every 10 un-synced
+    rounds (slam_backend.py:369-383). The Gaussian map itself is shared
+    (JAX arrays are immutable; the frontend reads a consistent snapshot
+    reference instead of the CUDA-IPC deep copy)."""
 
-    Consumes the reference's tag protocol from `backend_queue` and pushes
-    ["sync_backend"/"keyframe"/"init", poses, visibility] snapshots to
-    `frontend_queue` (slam_backend.py:355-482). The Gaussian map itself is
-    shared (JAX arrays are immutable; the frontend reads a consistent
-    snapshot reference instead of the CUDA-IPC deep copy).
-    """
+    engine: BackendEngine
+    single_thread: bool
 
-    def __init__(self, engine: BackendEngine, single_thread: bool = False):
-        super().__init__(daemon=True)
+    def _init_protocol(self, engine: BackendEngine, single_thread: bool):
         self.engine = engine
         self.single_thread = single_thread
         self.backend_queue: "queue.Queue" = queue.Queue()
         self.frontend_queue: "queue.Queue" = queue.Queue()
         self.pause = False
         self.last_sent = 0
+        self.stopped = False
 
     def push_to_frontend(self, tag: str = "sync_backend") -> None:
         self.last_sent = 0
         e = self.engine
-        keyframes = [
-            (idx, np.asarray(e.viewpoints[idx].T_w2c)) for idx in e.current_window
-        ]
-        snapshot = (e.gmap.params, e.gmap.aux.active)
+        with DEVICE_LOCK:
+            keyframes = [
+                (idx, np.asarray(e.viewpoints[idx].T_w2c))
+                for idx in e.current_window
+            ]
+            snapshot = (e.gmap.params, e.gmap.aux.active)
         self.frontend_queue.put(
             [tag, snapshot, dict(e.occ_aware_visibility), keyframes]
         )
 
-    def run(self) -> None:
+    def _idle_round(self) -> None:
         e = self.engine
-        while True:
+        if self.stopped or self.pause or not e.current_window or self.single_thread:
+            return
+        e.map(iters=e.idle_iters, harvest=False)
+        # reference cadence: after 10 un-synced background iterations, a
+        # 10-iteration prune pass + frontend sync (slam_backend.py:377-383);
+        # counted in iterations so idle_iters batching keeps the cadence
+        self.last_sent += e.idle_iters
+        if self.last_sent >= 10:
+            e.map(iters=10, prune=True)
+            self.push_to_frontend()
+
+    def _handle(self, data) -> None:
+        e = self.engine
+        tag = data[0]
+        if tag == "stop":
+            self.stopped = True
+        elif tag == "pause":
+            self.pause = True
+        elif tag == "unpause":
+            self.pause = False
+        elif tag == "color_refinement":
+            e.color_refinement()
+            self.push_to_frontend()
+        elif tag == "init":
+            _, frame_idx, kf, depth_map = data
+            e.handle_init(frame_idx, kf, depth_map)
+            self.push_to_frontend("init")
+        elif tag == "keyframe":
+            _, frame_idx, kf, window, depth_map = data
+            e.handle_keyframe(frame_idx, kf, window, depth_map, self.single_thread)
+            self.push_to_frontend("keyframe")
+        else:
+            raise RuntimeError(f"Unprocessed message {tag}")
+
+
+class BackendThread(threading.Thread, _BackendProtocol):
+    """Reference-style message-driven backend running as a host thread.
+
+    NOTE: some remote-attached TPU transports (the axon relay) wedge on
+    device dispatch from worker threads; `InlineBackendScheduler` is the
+    default there (same protocol, frontend-pumped)."""
+
+    def __init__(self, engine: BackendEngine, single_thread: bool = False):
+        super().__init__(daemon=True)
+        self._init_protocol(engine, single_thread)
+
+    def run(self) -> None:
+        while not self.stopped:
             try:
                 data = self.backend_queue.get(timeout=0.005)
             except queue.Empty:
-                if self.pause or not e.current_window or self.single_thread:
-                    continue
-                e.map(iters=1, harvest=False)
-                self.last_sent += 1
-                if self.last_sent >= 10:
-                    e.map(iters=10, prune=True)
-                    self.push_to_frontend()
+                self._idle_round()
                 continue
+            self._handle(data)
 
-            tag = data[0]
-            if tag == "stop":
+
+class InlineBackendScheduler(_BackendProtocol):
+    """Message-driven backend pumped synchronously by the frontend thread.
+
+    The TPU-idiomatic schedule for one chip: a single host thread issues
+    ONE command stream, time-slicing tracking programs and mapping programs
+    — the role the reference fills with two OS processes sharing one GPU.
+    `pump()` drains pending protocol messages and runs up to `idle_budget`
+    idle mapping rounds; the frontend calls it once per frame and while
+    waiting on init/keyframe backpressure."""
+
+    def __init__(self, engine: BackendEngine, single_thread: bool = False):
+        self._init_protocol(engine, single_thread)
+
+    # thread-API compatibility (SLAM.run/stop treat schedulers uniformly)
+    def start(self) -> None:
+        pass
+
+    def is_alive(self) -> bool:
+        return not self.stopped
+
+    def join(self, timeout: Optional[float] = None) -> None:
+        self.pump(idle_budget=0)
+
+    def pump(self, idle_budget: int = 1) -> None:
+        while True:
+            try:
+                data = self.backend_queue.get_nowait()
+            except queue.Empty:
                 break
-            elif tag == "pause":
-                self.pause = True
-            elif tag == "unpause":
-                self.pause = False
-            elif tag == "color_refinement":
-                e.color_refinement()
-                self.push_to_frontend()
-            elif tag == "init":
-                _, frame_idx, kf, depth_map = data
-                e.handle_init(frame_idx, kf, depth_map)
-                self.push_to_frontend("init")
-            elif tag == "keyframe":
-                _, frame_idx, kf, window, depth_map = data
-                e.handle_keyframe(frame_idx, kf, window, depth_map, self.single_thread)
-                self.push_to_frontend("keyframe")
-            else:
-                raise RuntimeError(f"Unprocessed message {tag}")
+            self._handle(data)
+        if idle_budget > 0:
+            # run background mapping only every idle_every-th pumped frame —
+            # per-dispatch overhead on relay-attached chips makes per-frame
+            # single-iteration rounds disproportionately expensive
+            self._pump_tick = getattr(self, "_pump_tick", 0) + 1
+            if self._pump_tick % max(self.engine.idle_every, 1) == 0:
+                for _ in range(idle_budget):
+                    self._idle_round()

@@ -26,8 +26,8 @@ import numpy as np
 
 from ..models.camera import Intrinsics
 from ..ops.raster_types import RasterConfig
+from ..utils.device_lock import DEVICE_LOCK
 from ..utils.logging import Log
-from ..utils.losses import compute_grad_mask
 from .backend import BackendEngine, BackendThread
 from .insertion import mono_bootstrap_depth, pseudo_depth_map
 from .keyframe import Keyframe
@@ -253,11 +253,10 @@ class FrontEnd:
         return k
 
     def _load_frame(self, idx: int):
+        """Host-side only: the edge mask is computed inside the tracking
+        program (grad_mask=None), and jit handles the h2d transfers."""
         image_np, depth_np, T_gt = self.dataset[idx]
-        image = jnp.asarray(image_np)
-        depth = jnp.asarray(depth_np) if depth_np is not None else None
-        grad_mask = compute_grad_mask(image, self.edge_threshold, self.per_block_mask)
-        return image, depth, np.asarray(T_gt), grad_mask
+        return image_np, depth_np, np.asarray(T_gt), None
 
     def initialize(self, cur_frame_idx: int, image, depth, T_gt, grad_mask) -> None:
         """Bootstrap / reset (slam_frontend.py:110-126)."""
@@ -277,17 +276,20 @@ class FrontEnd:
             grad_mask=grad_mask,
         )
         self.cameras[cur_frame_idx] = FrameInfo(
-            cur_frame_idx, np.asarray(T0), T_gt, np.zeros(2), is_keyframe=True
+            cur_frame_idx, np.asarray(T_gt), T_gt, np.zeros(2), is_keyframe=True
         )
         self.kf_indices.append(cur_frame_idx)
 
-        if self.monocular or depth is None:
-            depth_map = mono_bootstrap_depth(
-                self._split_rng(), self.intr.height, self.intr.width, init=True
-            )
-        else:
-            valid_rgb = np.asarray(image).sum(-1) > self.cfg.rgb_boundary_threshold
-            depth_map = jnp.where(jnp.asarray(valid_rgb), depth, 0.0)
+        with DEVICE_LOCK:
+            if self.monocular or depth is None:
+                depth_map = mono_bootstrap_depth(
+                    self._split_rng(), self.intr.height, self.intr.width,
+                    init=True,
+                )
+            else:
+                valid_rgb = image.sum(-1) > self.cfg.rgb_boundary_threshold
+                depth_map = jnp.where(valid_rgb, depth, 0.0)
+            jax.block_until_ready(depth_map)
 
         self.requested_init = True
         self._send(["init", cur_frame_idx, kf, depth_map])
@@ -300,37 +302,47 @@ class FrontEnd:
             prev2 = self.cameras[cur_frame_idx - 2]
             T_init = prev.T_est @ np.linalg.inv(prev2.T_est) @ prev.T_est
         params, active = self.snapshot
-        result = track_frame(
-            params,
-            active,
-            jnp.asarray(T_init, jnp.float32),
-            jnp.zeros(2),
-            image,
-            depth if (self.use_depth and depth is not None) else jnp.zeros_like(image[..., 0]),
-            grad_mask,
-            self.bg_color,
-            self.cfg,
-            self.intr,
-            self.raster_cfg,
-            use_depth=self.use_depth and depth is not None,
-        )
-        self.median_depth = float(result.median_depth)
+        with DEVICE_LOCK:
+            result = track_frame(
+                params,
+                active,
+                jnp.asarray(T_init, jnp.float32),
+                jnp.zeros(2),
+                jnp.asarray(image),
+                jnp.asarray(depth)
+                if (self.use_depth and depth is not None)
+                else jnp.zeros(image.shape[:2], jnp.float32),
+                grad_mask,
+                self.bg_color,
+                self.cfg,
+                self.intr,
+                self.raster_cfg,
+                use_depth=self.use_depth and depth is not None,
+            )
+            self.median_depth = float(result.median_depth)
+            # fetch the whole result inside the lock: every later
+            # np.asarray on a device array would be its own transfer RPC
+            result = jax.tree.map(np.asarray, result)
         if not np.isfinite(self.median_depth):
             self.median_depth = 4.0
         return result
 
     def make_keyframe_depth(self, image, depth, track: TrackResult):
         """add_new_keyframe depth synthesis (slam_frontend.py:57-108)."""
-        if self.monocular:
-            return pseudo_depth_map(
-                self._split_rng(),
-                track.depth,
-                track.opacity,
-                image,
-                self.cfg.rgb_boundary_threshold,
-            )
-        valid_rgb = image.sum(axis=-1) > self.cfg.rgb_boundary_threshold
-        return jnp.where(valid_rgb, depth, 0.0)
+        with DEVICE_LOCK:
+            if self.monocular:
+                out = pseudo_depth_map(
+                    self._split_rng(),
+                    jnp.asarray(track.depth),
+                    jnp.asarray(track.opacity),
+                    image,
+                    self.cfg.rgb_boundary_threshold,
+                )
+            else:
+                valid_rgb = image.sum(axis=-1) > self.cfg.rgb_boundary_threshold
+                out = jnp.where(valid_rgb, depth, 0.0)
+            jax.block_until_ready(out)
+        return out
 
     # ------------------------------------------------------------------- run
 
@@ -340,9 +352,15 @@ class FrontEnd:
             n_frames = min(n_frames, max_frames)
         cur_frame_idx = self.cur_frame_idx  # resumable across calls
 
+        pump = getattr(self.backend_thread, "pump", None)
+
         while cur_frame_idx < n_frames:
             self.cur_frame_idx = cur_frame_idx
             tic = time.time()
+            if pump is not None:
+                # inline scheduler: time-slice background mapping rounds on
+                # this thread (the reference's backend-process idle loop)
+                pump()
             self._drain_frontend_queue()
 
             # GUI pause channel (slam_frontend.py:333-343)
@@ -359,14 +377,22 @@ class FrontEnd:
                     continue
 
             if self.requested_init:
+                if pump is not None:
+                    pump(idle_budget=0)
                 self._drain_frontend_queue(block=False)
-                time.sleep(0.005)
+                time.sleep(0.0 if pump is not None else 0.005)
                 continue
             if self.single_thread and self.requested_keyframe > 0:
-                time.sleep(0.005)
+                if pump is not None:
+                    pump(idle_budget=0)
+                    self._drain_frontend_queue(block=False)
+                time.sleep(0.0 if pump is not None else 0.005)
                 continue
             if not self.initialized and self.requested_keyframe > 0:
-                time.sleep(0.005)
+                if pump is not None:
+                    pump(idle_budget=0)
+                    self._drain_frontend_queue(block=False)
+                time.sleep(0.0 if pump is not None else 0.005)
                 continue
 
             image, depth, T_gt, grad_mask = self._load_frame(cur_frame_idx)
@@ -401,8 +427,8 @@ class FrontEnd:
                 from ..viz.snapshot import GaussianPacket
 
                 params, active = self.snapshot
-                self.viz_channel.publish(
-                    GaussianPacket.from_map(
+                with DEVICE_LOCK:  # from_map fetches map arrays to host
+                    packet = GaussianPacket.from_map(
                         params,
                         active,
                         current_frame_T=np.asarray(track.T_w2c),
@@ -411,7 +437,7 @@ class FrontEnd:
                             self.cameras[i].T_est for i in self.current_window
                         ],
                     )
-                )
+                self.viz_channel.publish(packet)
 
             if self.requested_keyframe > 0:
                 cur_frame_idx += 1
@@ -515,6 +541,8 @@ class FrontEnd:
         self.cur_frame_idx = cur_frame_idx
         # final sync so eval sees the last mapped state
         if self.backend_thread is not None:
+            if pump is not None:
+                pump(idle_budget=0)
             self._drain_frontend_queue()
         else:
             self._sync_direct("final")

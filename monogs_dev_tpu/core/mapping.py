@@ -43,8 +43,9 @@ from ..models.gaussians import (
     reset_opacity,
     reset_opacity_nonvisible,
 )
+from ..ops.project import project_gaussians
 from ..ops.raster_types import RasterConfig
-from ..ops.rasterize import render_tiled
+from ..ops.rasterize import build_binning, render_binned, render_tiled
 from ..utils.losses import mapping_loss, isotropic_regularizer
 from .params import MapOptConfig, StepConfig
 
@@ -106,7 +107,6 @@ class _Carry(NamedTuple):
         "opt_cfg",
         "intr",
         "raster_cfg",
-        "iters",
         "update_every",
         "update_offset",
         "reset_interval",
@@ -131,7 +131,9 @@ def mapping_iterations(
     opt_cfg: MapOptConfig,
     intr: Intrinsics,
     raster_cfg: RasterConfig,
-    iters: int,
+    iters: jnp.ndarray,  # () int32 — DYNAMIC so every chunk size shares one
+    # compiled program (host chunk-splitting produces odd sizes at densify
+    # boundaries; a static bound would compile each size separately)
     update_every: int,  # densify cadence (gaussian_update_every / init_...)
     update_offset: int,
     reset_interval: int,  # opacity reset cadence
@@ -150,17 +152,18 @@ def mapping_iterations(
         ]
     )
 
-    def frame_loss(params, active, tau, exp_ab, probe, img, dep, T0, valid, app_exp):
+    def frame_loss(
+        params, active, tau, exp_ab, probe, img, dep, T0, valid, app_exp, binning
+    ):
         T = se3_exp(tau) @ T0
-        out = render_tiled(
-            params,
-            active,
-            T,
+        proj = project_gaussians(params, active, T, intr, cfg.sh_degree)
+        out = render_binned(
+            proj,
+            proj.means2d + probe,
+            binning,
             intr,
-            cfg.sh_degree,
             bg_color,
             raster_cfg,
-            means2d_probe=probe,
             need_touched=False,
         )
         loss = mapping_loss(
@@ -190,11 +193,13 @@ def mapping_iterations(
         loss = jnp.where(app_exp, loss, loss_noexp) * valid.astype(jnp.float32)
         return loss, out.radii
 
-    frame_loss = jax.checkpoint(frame_loss, static_argnums=())
+    # NOTE: deliberately no jax.checkpoint here — remat would re-run every
+    # frame's forward inside the backward (+~40% compute). Residuals for all
+    # window slots fit HBM comfortably (~100 MB/frame at VGA / 64k capacity).
 
-    def total_loss(params, taus, exps, probes, T_all, active):
+    def total_loss(params, taus, exps, probes, T_all, active, binnings):
         def one(args):
-            tau, exp_ab, probe, img, dep, T0, valid, app_exp = args
+            tau, exp_ab, probe, img, dep, T0, valid, app_exp, binning = args
 
             # lax.cond (a real runtime branch under lax.map's scan) skips the
             # full render for empty batch slots — before the window fills,
@@ -202,7 +207,7 @@ def mapping_iterations(
             def live(_):
                 return frame_loss(
                     params, active, tau, exp_ab, probe, img, dep, T0, valid,
-                    app_exp,
+                    app_exp, binning,
                 )
 
             def dead(_):
@@ -221,12 +226,58 @@ def mapping_iterations(
                 T_all,
                 batch.valid,
                 batch.apply_exposure,
+                binnings,
             ),
         )
         loss = losses.sum() + isotropic_regularizer(params.log_scales, active)
         return loss, radii
 
     grad_fn = jax.value_and_grad(total_loss, argnums=(0, 1, 2, 3), has_aux=True)
+
+    # Per-slot binnings, built ONCE per program invocation and reused across
+    # all `iters` iterations (the dominant per-render fixed cost is the
+    # binning sort, and poses/means move a few pixels at most within a
+    # chunk — covered by the dilation margin + cull slack). The host splits
+    # chunks so densify/prune/opacity-reset events land on a chunk's LAST
+    # iteration (BackendEngine.map), so a topology change never renders
+    # against a stale binning. Unrolled (not lax.map: scan overhead doubles
+    # the cost) with a lax.cond skipping empty slots.
+    tile = raster_cfg.tile
+    tx_n = -(-intr.width // tile)
+    ty_n = -(-intr.height // tile)
+    n_tiles = tx_n * ty_n
+    l_max = raster_cfg.max_per_tile
+
+    def slot_binning(T0, valid):
+        def live(_):
+            proj = jax.lax.stop_gradient(
+                project_gaussians(
+                    gmap.params, gmap.aux.active, T0, intr, cfg.sh_degree
+                )
+            )
+            return build_binning(
+                proj, intr, raster_cfg, dilate=cfg.mapping_rebin_dilation
+            )
+
+        def dead(_):
+            from ..ops.rasterize import Binning
+
+            return Binning(
+                idx_table=jnp.full((n_tiles, l_max), n, jnp.int32),
+                pos_table=jnp.full(
+                    (n, raster_cfg.k_dup), n_tiles * l_max, jnp.int32
+                ),
+                counts=jnp.zeros((n_tiles,), jnp.int32),
+                dup_overflow=jnp.zeros((), jnp.int32),
+                tile_overflow=jnp.zeros((), jnp.int32),
+            )
+
+        return jax.lax.cond(valid, live, dead, None)
+
+    slot_bins = [
+        slot_binning(batch.T_w2c[i], batch.valid[i]) for i in range(b)
+    ]
+    binnings = jax.tree.map(lambda *xs: jnp.stack(xs), *slot_bins)
 
     def body(_, c: _Carry) -> _Carry:
         rng, k_densify = jax.random.split(c.rng)
@@ -235,7 +286,8 @@ def mapping_iterations(
         taus0 = jnp.zeros((b, 6))
         probes0 = jnp.zeros((b, n, 2))
         (loss, radii), (g_map, g_tau, g_exp, g_probe) = grad_fn(
-            c.gmap.params, taus0, c.exposure, probes0, c.T, c.gmap.aux.active
+            c.gmap.params, taus0, c.exposure, probes0, c.T, c.gmap.aux.active,
+            binnings,
         )
 
         # ---- map Adam step with the scheduled xyz LR (gaussian_model.py:296)
@@ -348,7 +400,7 @@ def mapping_iterations(
         last_loss=jnp.zeros(()),
         n_dropped=jnp.zeros((), jnp.int32),
     )
-    final = jax.lax.fori_loop(0, iters, body, init)
+    final = jax.lax.fori_loop(0, jnp.asarray(iters, jnp.int32), body, init)
 
     return MappingResult(
         gmap=final.gmap,

@@ -37,12 +37,24 @@ class StepConfig:
     # borders as the pose moves (was tolerable with loose radius boxes).
     rebin_every: int = 8
     rebin_dilation: float = 4.0
+    # mapping reuses per-slot binnings for a whole chunk dispatch
+    # (core/mapping.py); same drift-margin idea
+    mapping_rebin_dilation: float = 4.0
     # TPU coarse-to-fine tracking (off by default for reference parity):
     # `pyramid_levels` extra half-resolution levels run before the full-res
     # loop (each costs ~1/4 per halving), capped at `pyramid_coarse_iters`
     # iterations per coarse level.
     pyramid_levels: int = 0
     pyramid_coarse_iters: int = 60
+    # TPU loss-plateau tracking exit: stop after `plateau_iters` iterations
+    # without a `plateau_rel_tol` relative loss improvement (0 disables,
+    # restoring the reference's ||tau||-only exit).
+    plateau_iters: int = 15
+    plateau_rel_tol: float = 1e-4
+    # tracking-loss edge mask (camera_utils.py:114-143), computed inside the
+    # tracking program when the caller passes grad_mask=None
+    edge_threshold: float = 1.1
+    per_block_mask: bool = False
 
     @staticmethod
     def from_config(config) -> "StepConfig":
@@ -63,6 +75,10 @@ class StepConfig:
             pyramid_coarse_iters=int(
                 training.get("tracking_pyramid_coarse_iters", 60)
             ),
+            plateau_iters=int(training.get("tracking_plateau_iters", 15)),
+            plateau_rel_tol=float(training.get("tracking_plateau_rel_tol", 1e-4)),
+            edge_threshold=float(training.get("edge_threshold", 1.1)),
+            per_block_mask=config["Dataset"].get("type") == "replica",
         )
 
 

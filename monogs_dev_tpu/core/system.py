@@ -22,7 +22,7 @@ from ..models.camera import Intrinsics
 from ..ops.raster_types import RasterConfig
 from ..utils.logging import Log
 from ..utils.profiling import MetricsLogger, PhaseTimers
-from .backend import BackendEngine, BackendThread
+from .backend import BackendEngine, BackendThread, InlineBackendScheduler
 from .frontend import FrontEnd
 from .params import MapOptConfig, StepConfig
 
@@ -74,9 +74,16 @@ class SLAM:
             seed=seed,
             live_mode=self.live_mode,
         )
-        self.backend_thread = (
-            None if self.single_thread else BackendThread(self.engine)
-        )
+        # scheduler: "inline" (default; one host thread, one device command
+        # stream) or "thread" (reference-style worker thread — wedges on
+        # relay-attached TPUs, fine on CPU/directly-attached chips)
+        scheduler = str(tpu.get("scheduler", "inline"))
+        if self.single_thread:
+            self.backend_thread = None
+        elif scheduler == "thread":
+            self.backend_thread = BackendThread(self.engine)
+        else:
+            self.backend_thread = InlineBackendScheduler(self.engine)
         self.viz_channel = None
         if config["Results"].get("use_gui", False):
             from ..viz.snapshot import VizChannel
@@ -122,10 +129,13 @@ class SLAM:
 
     def evaluate(self, eval_rendering_flag: bool = True) -> dict:
         """Post-run evaluation tail (slam.py:121-190)."""
+        from ..utils.device_lock import DEVICE_LOCK
+
         results = {"fps": self.fps}
         fe, e = self.frontend, self.engine
         results["n_keyframes"] = len(fe.kf_indices)
-        results["n_gaussians"] = int(np.asarray(e.gmap.aux.active).sum())
+        with DEVICE_LOCK:
+            results["n_gaussians"] = int(np.asarray(e.gmap.aux.active).sum())
         results["telemetry"] = dict(e.telemetry)
 
         results["ate"] = eval_ate(
@@ -154,7 +164,11 @@ class SLAM:
             # color refinement + re-eval (slam.py:154-185)
             if self.backend_thread is not None:
                 self.backend_thread.backend_queue.put(["color_refinement"])
-                fe._drain_frontend_queue(block=True)
+                if hasattr(self.backend_thread, "pump"):
+                    self.backend_thread.pump(idle_budget=0)
+                    fe._drain_frontend_queue()
+                else:
+                    fe._drain_frontend_queue(block=True)
             else:
                 e.color_refinement()
             params, active = e.gmap.params, e.gmap.aux.active
@@ -170,7 +184,8 @@ class SLAM:
                 fe.kf_indices,
                 iteration="after_opt",
             )
-            save_gaussians(params, active, self.save_dir, "final", final=True)
+            with DEVICE_LOCK:
+                save_gaussians(params, active, self.save_dir, "final", final=True)
         self.metrics.log(results)
         return results
 
@@ -178,12 +193,14 @@ class SLAM:
         """Full-state checkpoint (map + moments + poses); see
         utils/checkpoint.py. The reference is save-only PLY; this resumes."""
         from ..utils.checkpoint import save_checkpoint
+        from ..utils.device_lock import DEVICE_LOCK
 
         if path is None:
             if self.save_dir is None:
                 return None
             path = os.path.join(self.save_dir, "checkpoint.npz")
-        save_checkpoint(path, self.engine, self.frontend)
+        with DEVICE_LOCK:  # fetches the map while the backend may be live
+            save_checkpoint(path, self.engine, self.frontend)
         Log(f"checkpoint saved to {path}")
         return path
 

@@ -29,7 +29,7 @@ from ..models.gaussians import GaussianParams
 from ..ops.project import project_gaussians
 from ..ops.raster_types import RasterConfig
 from ..ops.rasterize import build_binning, render_binned, render_tiled
-from ..utils.losses import tracking_loss, median_depth
+from ..utils.losses import compute_grad_mask, tracking_loss, median_depth
 from .params import StepConfig
 
 _ADAM_B1, _ADAM_B2, _ADAM_EPS = 0.9, 0.999, 1e-8  # torch.optim.Adam defaults
@@ -57,6 +57,8 @@ class _Carry(NamedTuple):
     count: jnp.ndarray
     itr: jnp.ndarray
     converged: jnp.ndarray
+    best_loss: jnp.ndarray  # () running best for the plateau exit
+    stall: jnp.ndarray  # () iterations without relative improvement
 
 
 def _halve_image(x: jnp.ndarray) -> jnp.ndarray:
@@ -115,6 +117,14 @@ def track_frame(
     raster_cfg: RasterConfig,
     use_depth: bool,
 ) -> TrackResult:
+    image = jnp.asarray(image)
+    depth_gt = jnp.asarray(depth_gt)
+    if grad_mask is None:
+        # computed in-program: one dispatch per frame instead of a separate
+        # grad-mask program + transfers (camera_utils.py:114-143 semantics)
+        grad_mask = compute_grad_mask(
+            image, cfg.edge_threshold, cfg.per_block_mask
+        )
     lr = jnp.concatenate(
         [
             jnp.full((3,), cfg.cam_trans_lr),
@@ -146,13 +156,13 @@ def track_frame(
                 cfg.rgb_boundary_threshold,
             )
 
-        grad_fn = jax.grad(loss_fn, argnums=(0, 1))
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
 
         def not_done(c: _Carry):
             return (c.itr < max_iters) & ~c.converged
 
         def body(c: _Carry, binning) -> _Carry:
-            g_tau, g_exp = grad_fn(jnp.zeros(6), c.exp_ab, c.T, binning)
+            loss, (g_tau, g_exp) = grad_fn(jnp.zeros(6), c.exp_ab, c.T, binning)
             g = jnp.concatenate([g_tau, g_exp])
             count = c.count + 1
             mu = _ADAM_B1 * c.mu + (1.0 - _ADAM_B1) * g
@@ -164,7 +174,20 @@ def track_frame(
             exp_new = c.exp_ab - step[6:]
             T_new = se3_exp(tau_new) @ c.T
             converged = jnp.linalg.norm(tau_new) < cfg.convergence_threshold
-            return _Carry(T_new, exp_new, mu, nu, count, c.itr + 1, converged)
+            # TPU extension: loss-plateau exit. The reference only exits on
+            # ||tau|| < 1e-4 (pose_utils.py:88), which Adam's lr-sized steps
+            # never reach on flat photometric plateaus — it then burns the
+            # full iteration budget. plateau_iters=0 restores that behavior.
+            if cfg.plateau_iters > 0:
+                improved = loss < c.best_loss * (1.0 - cfg.plateau_rel_tol)
+                stall = jnp.where(improved, 0, c.stall + 1)
+                best = jnp.minimum(c.best_loss, loss)
+                converged = converged | (stall >= cfg.plateau_iters)
+            else:
+                stall, best = c.stall, c.best_loss
+            return _Carry(
+                T_new, exp_new, mu, nu, count, c.itr + 1, converged, best, stall
+            )
 
         def outer_body(c: _Carry) -> _Carry:
             # rebin at the current pose with a drift margin, then run up to
@@ -210,6 +233,8 @@ def track_frame(
         count=jnp.zeros((), jnp.int32),
         itr=jnp.zeros((), jnp.int32),
         converged=jnp.zeros((), bool),
+        best_loss=jnp.asarray(jnp.inf),
+        stall=jnp.zeros((), jnp.int32),
     )
     total_iters = jnp.zeros((), jnp.int32)
     for li, (img_l, dep_l, msk_l, intr_l, max_iters) in enumerate(levels):
@@ -221,6 +246,8 @@ def track_frame(
                 count=jnp.zeros((), jnp.int32),
                 itr=jnp.zeros((), jnp.int32),
                 converged=jnp.zeros((), bool),
+                best_loss=jnp.asarray(jnp.inf),
+                stall=jnp.zeros((), jnp.int32),
             )
         carry = run_level(carry, img_l, dep_l, msk_l, intr_l, max_iters)
         total_iters = total_iters + carry.itr

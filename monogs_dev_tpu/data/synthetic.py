@@ -54,6 +54,63 @@ def make_synthetic_scene(
     return params, jnp.ones((n,), bool)
 
 
+def make_surface_scene(
+    key: jax.Array,
+    n: int = 8000,
+    extent_x: float = 5.0,
+    extent_y: float = 3.0,
+    z_base: float = 3.0,
+    scale: float = 0.035,
+    sh_degree: int = 0,
+):
+    """Opaque 2.5D textured relief — the regime real SLAM scenes live in
+    (piecewise-smooth surfaces, near-opaque splats), unlike the volumetric
+    blob cloud of `make_synthetic_scene`. Splat footprint ~6 px at VGA, so
+    the photometric landscape is smooth at the pixel scale and tracking
+    behaves like it does on TUM/Replica imagery."""
+    ks = jax.random.split(key, 5)
+    x = jax.random.uniform(ks[0], (n,), minval=-extent_x, maxval=extent_x)
+    y = jax.random.uniform(ks[1], (n,), minval=-extent_y, maxval=extent_y)
+    z = (
+        z_base
+        + 0.6 * jnp.sin(2.0 * x)
+        + 0.4 * jnp.cos(3.0 * y)
+        + 0.15 * jnp.sin(5.0 * x) * jnp.cos(4.0 * y)
+        + 0.03 * jax.random.normal(ks[2], (n,))
+    )
+    base = 0.5 + 0.35 * jnp.stack(
+        [
+            jnp.sin(1.3 * x + 2.1 * y),
+            jnp.sin(2.2 * x - 1.1 * y + 1.0),
+            jnp.cos(1.7 * x + 0.6 * y),
+        ],
+        axis=-1,
+    )
+    rgb = jnp.clip(
+        base + 0.15 * jax.random.uniform(ks[3], (n, 3), minval=-1.0, maxval=1.0),
+        0.02,
+        0.98,
+    )
+    r = max((sh_degree + 1) ** 2 - 1, 0)
+    log_scales = jnp.stack(
+        [
+            jnp.full((n,), jnp.log(scale)),
+            jnp.full((n,), jnp.log(scale)),
+            jnp.full((n,), jnp.log(scale * 0.3)),  # flattened onto the relief
+        ],
+        axis=-1,
+    )
+    params = GaussianParams(
+        xyz=jnp.stack([x, y, z], -1),
+        f_dc=rgb_to_sh(rgb)[:, None, :],
+        f_rest=jnp.zeros((n, r, 3)),
+        log_scales=log_scales,
+        quats=jnp.tile(jnp.array([[1.0, 0.0, 0.0, 0.0]]), (n, 1)),
+        opacity_logit=jnp.full((n,), inverse_sigmoid(jnp.float32(0.95))),
+    )
+    return params, jnp.ones((n,), bool)
+
+
 def orbit_pose(i: int, n_frames: int, radius: float = 0.5, sweep: float = 1.2):
     """Smooth lateral arc with yaw + slight push-in, looking down +z (W2C).
 
@@ -88,12 +145,24 @@ class SyntheticDataset(BaseDataset):
             fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy,
             width=self.width, height=self.height,
         )
-        self.scene_params, self.scene_active = make_synthetic_scene(
-            jax.random.PRNGKey(seed),
-            n=n_gauss,
-            scale=float(ds.get("gaussian_scale", 0.06)),
-        )
-        self.poses = [orbit_pose(i, self.num_imgs) for i in range(self.num_imgs)]
+        scene_kind = ds.get("scene", "blobs")
+        if scene_kind == "surface":
+            self.scene_params, self.scene_active = make_surface_scene(
+                jax.random.PRNGKey(seed),
+                n=n_gauss,
+                scale=float(ds.get("gaussian_scale", 0.035)),
+            )
+        else:
+            self.scene_params, self.scene_active = make_synthetic_scene(
+                jax.random.PRNGKey(seed),
+                n=n_gauss,
+                scale=float(ds.get("gaussian_scale", 0.06)),
+            )
+        sweep = float(ds.get("sweep", 1.2))
+        self.poses = [
+            orbit_pose(i, self.num_imgs, sweep=sweep)
+            for i in range(self.num_imgs)
+        ]
         self._raster_cfg = RasterConfig(max_per_tile=512, k_dup=16)
         self._cache: dict = {}
 

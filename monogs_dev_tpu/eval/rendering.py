@@ -20,6 +20,7 @@ import numpy as np
 from ..models.camera import Intrinsics
 from ..ops.raster_types import RasterConfig
 from ..ops.rasterize import render_tiled
+from ..utils.device_lock import DEVICE_LOCK
 from ..utils.logging import Log
 from ..utils.losses import psnr as psnr_fn
 from ..utils.losses import ssim as ssim_fn
@@ -66,18 +67,24 @@ def eval_rendering(
         if idx in kf_indices or idx not in cameras:
             continue
         image_np, _, _ = dataset[idx]
-        gt = jnp.asarray(image_np)
-        T = jnp.asarray(cameras[idx].T_est, jnp.float32)
-        out = render_tiled(params, active, T, intr, sh_degree, config=raster_cfg, need_touched=False)
-        pred = jnp.clip(out.color, 0.0, 1.0)
-        mask = gt.sum(axis=-1) > 0.0
-        psnrs.append(float(psnr_fn(pred, gt, mask)))
-        ssims.append(float(ssim_fn(pred, gt)))
-        lp = _lpips(np.asarray(pred), np.asarray(gt))
+        with DEVICE_LOCK:  # the backend thread may still be idle-mapping
+            gt = jnp.asarray(image_np)
+            T = jnp.asarray(cameras[idx].T_est, jnp.float32)
+            out = render_tiled(
+                params, active, T, intr, sh_degree, config=raster_cfg,
+                need_touched=False,
+            )
+            pred = jnp.clip(out.color, 0.0, 1.0)
+            mask = gt.sum(axis=-1) > 0.0
+            psnrs.append(float(psnr_fn(pred, gt, mask)))
+            ssims.append(float(ssim_fn(pred, gt)))
+            pred = np.asarray(pred)
+            gt = np.asarray(gt)
+        lp = _lpips(pred, gt)
         if lp is not None:
             lpipss.append(lp)
-        img_pred.append(np.asarray(pred))
-        img_gt.append(np.asarray(gt))
+        img_pred.append(pred)
+        img_gt.append(gt)
 
     output = {
         "mean_psnr": float(np.mean(psnrs)) if psnrs else float("nan"),

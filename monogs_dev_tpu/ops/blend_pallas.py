@@ -111,7 +111,7 @@ def _blend_fwd_kernel(
     alpha_ref,  # VMEM (1, 1, P)
     tfinal_ref,  # VMEM (1, 1, P)
     neff_ref,  # VMEM (1, 8, 128) int32 — effective chunks (broadcast)
-    touch_ref=None,  # VMEM (1, 8, l_max) int32 — only when emit_touch
+    touch_ref=None,  # VMEM (1, l_max, 8) int32 — only when emit_touch
     *,
     tile: int,
     tx_n: int,
@@ -126,7 +126,10 @@ def _blend_fwd_kernel(
     count = counts_sp[pl.program_id(0)]
     n_chunks = (count + CHUNK - 1) // CHUNK
     if emit_touch:
-        touch_ref[0] = jnp.zeros((8, l_max), jnp.int32)
+        # entries live on sublanes (minor dim 8 is lane padding): chunked
+        # dynamic stores are only legal on the sublane dimension (lane-dim
+        # dynamic indices must be 128-multiples, CHUNK is not)
+        touch_ref[0] = jnp.zeros((l_max, 8), jnp.int32)
 
     def cond(carry):
         k, t_run, *_ = carry
@@ -144,9 +147,10 @@ def _blend_fwd_kernel(
             cnt = jnp.sum(
                 ((alpha >= alpha_min) & contributing).astype(jnp.int32),
                 axis=1,
-            )  # (CHUNK,) pixels touched per entry
-            touch_ref[0, :, pl.ds(k * CHUNK, CHUNK)] = jnp.broadcast_to(
-                cnt.reshape(1, CHUNK), (8, CHUNK)
+                keepdims=True,
+            )  # (CHUNK, 1) pixels touched per entry
+            touch_ref[0, pl.ds(k * CHUNK, CHUNK), :] = jnp.broadcast_to(
+                cnt, (CHUNK, 8)
             )
         col = chunk[:, 5:8]  # (CHUNK, 3)
         c_acc = c_acc + jnp.concatenate(
@@ -350,8 +354,8 @@ def _forward(
         jax.ShapeDtypeStruct((t, 8, 128), jnp.int32),
     ]
     if emit_touch:
-        out_specs.append(pl.BlockSpec((1, 8, l_max), lambda i, c: (i, 0, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((t, 8, l_max), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, l_max, 8), lambda i, c: (i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((t, l_max, 8), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t,),
@@ -367,7 +371,7 @@ def _forward(
         interpret=_interpret(),
     )(counts, props)
     color, depth, alpha, tfinal, neff = outs[:5]
-    touch = outs[5][:, 0, :l_in] if emit_touch else None
+    touch = outs[5][:, :l_in, 0] if emit_touch else None
     return color, depth[:, 0], alpha[:, 0], tfinal[:, 0], neff, touch
 
 

@@ -150,7 +150,9 @@ def build_binning(
         inside = (dx0 <= 0.0) & (dx1 >= 0.0) & (dy0 <= 0.0) & (dy1 >= 0.0)
         q_min = jnp.where(inside, 0.0, q_edges)
         q_thresh = jnp.log(jnp.maximum(opa, 1e-12) / config.alpha_min)[:, None]
-        slack = jnp.where(jnp.asarray(dilate) > 0, 0.5, 0.0)
+        # slack under reuse: e^1 ~ 2.7x alpha headroom absorbs conic AND
+        # opacity drift while a binning is reused across iterations
+        slack = jnp.where(jnp.asarray(dilate) > 0, 1.0, 0.0)
         tid = jnp.where(q_min <= q_thresh + slack, tid, n_tiles)
     nk = n * config.k_dup
 

@@ -60,6 +60,28 @@ class TestTracking:
         assert err_after < err_before * 0.5, (err_before, err_after)
         assert int(res.n_iters) > 0
 
+    def test_pyramid_recovers_pose(self):
+        # coarse-to-fine variant (TPU extension): same recovery property
+        # with one half-res level before the full-res loop
+        gmap = scene_map()
+        T_true = jnp.eye(4)
+        gt = render_tiled(gmap.params, gmap.aux.active, T_true, INTR, 0, config=RCFG)
+        tau = jnp.array([0.02, -0.015, 0.01, 0.004, -0.003, 0.002])
+        T_init = se3_exp(tau) @ T_true
+        cfg = StepConfig(
+            monocular=False, tracking_max_iters=40, pyramid_levels=1,
+            pyramid_coarse_iters=30,
+        )
+        res = track_frame(
+            gmap.params, gmap.aux.active, T_init, jnp.zeros(2),
+            gt.color, gt.depth / jnp.maximum(gt.alpha, 1e-6),
+            jnp.ones((64, 80), bool), jnp.zeros(3),
+            cfg, INTR, RCFG, use_depth=True,
+        )
+        err_before = float(jnp.linalg.norm(T_init[:3, 3] - T_true[:3, 3]))
+        err_after = float(jnp.linalg.norm(res.T_w2c[:3, 3] - T_true[:3, 3]))
+        assert err_after < err_before * 0.5, (err_before, err_after)
+
     def test_stays_at_optimum(self):
         # from a perfect init the pose must not drift: Adam takes lr-sized
         # steps even on tiny gradients (scale invariance — same as the

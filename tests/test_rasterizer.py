@@ -168,6 +168,33 @@ class TestGradients:
         assert float(jnp.abs(g).sum()) > 0.0
 
 
+class TestTightCull:
+    def test_culling_is_exact_and_reduces_counts(self):
+        import dataclasses
+
+        from monogs_dev_tpu.ops.project import project_gaussians
+        from monogs_dev_tpu.ops.rasterize import build_binning, render_binned
+
+        params, active = make_scene(n=120)
+        cfg_on = dataclasses.replace(CFG, max_per_tile=128)
+        cfg_off = dataclasses.replace(cfg_on, tight_cull=False)
+        proj = project_gaussians(params, active, jnp.eye(4), INTR, 0)
+        b_on = build_binning(proj, INTR, cfg_on)
+        b_off = build_binning(proj, INTR, cfg_off)
+        assert int(b_on.counts.sum()) <= int(b_off.counts.sum())
+        o_on = render_binned(
+            proj, proj.means2d, b_on, INTR, jnp.zeros(3), cfg_on, True
+        )
+        o_off = render_binned(
+            proj, proj.means2d, b_off, INTR, jnp.zeros(3), cfg_off, True
+        )
+        # culled entries are exactly those the blend zeroes (alpha<alpha_min)
+        np.testing.assert_allclose(
+            np.asarray(o_on.color), np.asarray(o_off.color), atol=1e-4
+        )
+        assert int(jnp.abs(o_on.n_touched - o_off.n_touched).max()) <= 1
+
+
 class TestTelemetry:
     def test_tile_overflow_reported(self):
         params, active = make_scene(n=100)

@@ -11,11 +11,15 @@ from monogs_dev_tpu.utils.config import load_config
 config = load_config("configs/synthetic/bench_vga.yaml")
 config["Dataset"]["sensor_type"] = "monocular"
 config["Results"]["save_results"] = False
+print("config loaded", flush=True)
 
-n_warm, n_meas = 8, 15
+n_warm, n_meas = 16, 25
+import jax as _j; _j.devices(); print("devices up", flush=True)
 slam = SLAM(config, save_dir=None)
+print("slam built", flush=True)
 for i in range(n_warm + n_meas):
     slam.dataset.render_frame(i)
+print("frames prerendered", flush=True)
 
 fe = slam.frontend
 eng = slam.engine
