@@ -30,6 +30,7 @@ def child() -> None:
     enable_compile_cache()
     from monogs_dev_tpu.core.system import SLAM
     from monogs_dev_tpu.utils.config import load_config
+    from monogs_dev_tpu.utils.profiling import CompileCounter
 
     config = load_config(
         os.path.join(os.path.dirname(__file__), "configs/synthetic/bench_vga.yaml")
@@ -37,23 +38,53 @@ def child() -> None:
     config["Dataset"]["sensor_type"] = "monocular"
     config["Results"]["save_results"] = False
 
-    n_warm, n_meas = 16, 25
+    n_warm_min, n_meas = 16, 25
     slam = SLAM(config, save_dir=None)
     print("bench: slam constructed", flush=True)
 
     # pre-render the synthetic GT frames so dataset synthesis is not timed
-    for i in range(n_warm + n_meas):
+    n_total = len(slam.dataset)
+    for i in range(n_total):
         slam.dataset.render_frame(i)
-        print(f"bench: frame {i} prerendered", flush=True)
+    print(f"bench: {n_total} frames prerendered", flush=True)
 
-    # warmup segment absorbs compilation of every program variant
-    slam.frontend.run(max_frames=n_warm)
-    print("bench: warmup done", flush=True)
-    t0 = time.time()
-    slam.frontend.run(max_frames=n_warm + n_meas)
-    dt = time.time() - t0
+    # compile every program variant up front (explicit AOT warmup) ...
+    slam.prewarm()
 
-    fps = n_meas / dt
+    # ... then run the pipeline until it reaches steady state: at least
+    # n_warm_min frames AND past monocular initialization (the one-time
+    # init-BA burst must not land inside the measured window)
+    frame = n_warm_min
+    slam.frontend.run(max_frames=frame)
+    while not (slam.frontend.initialized and slam.engine.initialized):
+        if frame + 5 + n_meas > n_total:
+            break
+        frame += 5
+        slam.frontend.run(max_frames=frame)
+        print(f"bench: warmup extended to {frame}", flush=True)
+    print(f"bench: warmup done at frame {frame}", flush=True)
+
+    # measured steady-state window; assert zero compiles inside it
+    fps = 0.0
+    for attempt in range(2):
+        with CompileCounter() as cc:
+            t0 = time.time()
+            slam.frontend.run(max_frames=frame + n_meas)
+            dt = time.time() - t0
+        fps = n_meas / dt
+        print(
+            f"bench: window [{frame}, {frame + n_meas}) {fps:.3f} fps, "
+            f"{cc.count} compiles {cc.names[:8]}",
+            flush=True,
+        )
+        frame += n_meas
+        if cc.count == 0:
+            break
+        if frame + n_meas > n_total:
+            print("bench: out of frames for a clean re-measure", flush=True)
+            break
+        print("bench: compiles hit the window; re-measuring", flush=True)
+
     baseline_fps = 10.0
     print(
         "RESULT "

@@ -125,7 +125,16 @@ class BackendEngine:
         self.occ_aware_visibility: Dict[int, jnp.ndarray] = {}
         self.initialized = not self.cfg.monocular
         self.kf_state: Optional[KeyframeOptState] = None
-        self.telemetry = {"insert_dropped": 0, "densify_dropped": 0}
+        self._batch_cache = None  # (images, depths, slot kf ids) device stacks
+        self.telemetry = {
+            "insert_dropped": 0,
+            "densify_dropped": 0,
+            # max screen-space drift (px) of projected means within any
+            # chunk that reused its binnings; compare against
+            # cfg.mapping_rebin_dilation (gradient truncation is silent
+            # beyond that margin)
+            "max_binning_drift": 0.0,
+        }
 
     def _split_rng(self) -> jax.Array:
         self.rng, k = jax.random.split(self.rng)
@@ -176,7 +185,13 @@ class BackendEngine:
     def _build_batch(
         self, apply_exposure: bool, frames_to_optimize: int, b: int
     ) -> tuple[KeyframeBatch, list[int]]:
-        """Stack the current window + 2 random past keyframes into slots."""
+        """Stack the current window + 2 random past keyframes into slots.
+
+        Keyframe images/depths are immutable per keyframe id, so the stacked
+        (B, H, W) device arrays are cached across chunk dispatches and only
+        the slots whose keyframe assignment changed are rewritten (usually
+        just the 2 resampled random slots) — poses/exposures, which mapping
+        mutates, are refreshed every call."""
         window = list(self.current_window)[: b - 2]
         others = [i for i in self.viewpoints if i not in set(window)]
         rand: List[int] = []
@@ -189,8 +204,14 @@ class BackendEngine:
         slot_ids = window + rand
         h, w = self.intr.height, self.intr.width
 
-        images = jnp.zeros((b, h, w, 3))
-        depths = jnp.zeros((b, h, w))
+        cache = self._batch_cache
+        if cache is not None and cache[0].shape[0] == b:
+            images, depths, cached_ids = cache
+        else:
+            images = jnp.zeros((b, h, w, 3))
+            depths = jnp.zeros((b, h, w))
+            cached_ids = [None] * b
+
         T = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
         exposure = jnp.zeros((b, 2))
         valid = np.zeros(b, bool)
@@ -198,11 +219,15 @@ class BackendEngine:
         opt_exp = np.zeros(b, bool)
         harvest = np.zeros(b, bool)
 
+        new_ids: list = [None] * b
         for s, kf_idx in enumerate(slot_ids):
             kf = self.viewpoints[kf_idx]
-            images = images.at[s].set(kf.image)
-            if kf.depth is not None:
-                depths = depths.at[s].set(kf.depth)
+            new_ids[s] = kf_idx
+            if cached_ids[s] != kf_idx:
+                images = images.at[s].set(kf.image)
+                depths = depths.at[s].set(
+                    kf.depth if kf.depth is not None else jnp.zeros((h, w))
+                )
             T = T.at[s].set(kf.T_w2c)
             exposure = exposure.at[s].set(kf.exposure)
             valid[s] = True
@@ -212,6 +237,7 @@ class BackendEngine:
                 opt_exp[s] = True
                 if s < frames_to_optimize:
                     opt_pose[s] = True
+        self._batch_cache = (images, depths, new_ids)
 
         batch = KeyframeBatch(
             images=images,
@@ -317,6 +343,24 @@ class BackendEngine:
                 self.kf_state = out.kf_state
                 self.iteration_count += chunk
                 self.telemetry["densify_dropped"] += int(out.n_dropped)
+                # drift telemetry is meaningless on chunks whose final
+                # iteration densified: split children land in slots that were
+                # active at binning time, reading as huge fake "drift"
+                it_end = self.iteration_count
+                densified = (it_end % update_every) == update_offset or (
+                    init_mode and it_end == reset_interval
+                )
+                drift = 0.0 if densified else float(out.max_drift)
+                if drift > self.telemetry["max_binning_drift"]:
+                    self.telemetry["max_binning_drift"] = drift
+                    if drift > self.cfg.mapping_rebin_dilation:
+                        Log(
+                            f"mapping binning drift {drift:.1f}px exceeds "
+                            f"dilation {self.cfg.mapping_rebin_dilation:.1f}px "
+                            "(gradients near tile borders truncated; lower "
+                            "TPU.map_chunk or raise the dilation)",
+                            tag="MonoGS-TPU",
+                        )
                 self._writeback(out.batch, slot_ids)
                 jax.block_until_ready(self.gmap.params.xyz)
             last_batch = out.batch

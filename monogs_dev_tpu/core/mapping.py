@@ -87,6 +87,10 @@ class MappingResult(NamedTuple):
     iteration_count: jnp.ndarray  # ()
     last_loss: jnp.ndarray  # ()
     n_dropped: jnp.ndarray  # () densify capacity overflow telemetry
+    max_drift: jnp.ndarray  # () max |means2d delta| (px) across the chunk —
+    # how far projected means moved since the per-slot binnings were built;
+    # values near/above mapping_rebin_dilation mean the reused tile lists
+    # were silently truncating gradients (ADVICE r1 #4)
 
 
 class _Carry(NamedTuple):
@@ -255,21 +259,26 @@ def mapping_iterations(
                     gmap.params, gmap.aux.active, T0, intr, cfg.sh_degree
                 )
             )
-            return build_binning(
+            binning = build_binning(
                 proj, intr, raster_cfg, dilate=cfg.mapping_rebin_dilation
             )
+            return binning, proj.means2d, proj.valid
 
         def dead(_):
             from ..ops.rasterize import Binning
 
-            return Binning(
-                idx_table=jnp.full((n_tiles, l_max), n, jnp.int32),
-                pos_table=jnp.full(
-                    (n, raster_cfg.k_dup), n_tiles * l_max, jnp.int32
+            return (
+                Binning(
+                    idx_table=jnp.full((n_tiles, l_max), n, jnp.int32),
+                    pos_table=jnp.full(
+                        (n, raster_cfg.k_dup), n_tiles * l_max, jnp.int32
+                    ),
+                    counts=jnp.zeros((n_tiles,), jnp.int32),
+                    dup_overflow=jnp.zeros((), jnp.int32),
+                    tile_overflow=jnp.zeros((), jnp.int32),
                 ),
-                counts=jnp.zeros((n_tiles,), jnp.int32),
-                dup_overflow=jnp.zeros((), jnp.int32),
-                tile_overflow=jnp.zeros((), jnp.int32),
+                jnp.zeros((n, 2)),
+                jnp.zeros((n,), bool),
             )
 
         return jax.lax.cond(valid, live, dead, None)
@@ -277,7 +286,9 @@ def mapping_iterations(
     slot_bins = [
         slot_binning(batch.T_w2c[i], batch.valid[i]) for i in range(b)
     ]
-    binnings = jax.tree.map(lambda *xs: jnp.stack(xs), *slot_bins)
+    binnings = jax.tree.map(lambda *xs: jnp.stack(xs), *(s[0] for s in slot_bins))
+    means2d_at_bin = jnp.stack([s[1] for s in slot_bins])  # (B, N, 2)
+    valid_at_bin = jnp.stack([s[2] for s in slot_bins])  # (B, N)
 
     def body(_, c: _Carry) -> _Carry:
         rng, k_densify = jax.random.split(c.rng)
@@ -402,6 +413,24 @@ def mapping_iterations(
     )
     final = jax.lax.fori_loop(0, jnp.asarray(iters, jnp.int32), body, init)
 
+    # drift telemetry: how far projected means moved (px) since the binnings
+    # were built, per slot; masked to gaussians valid at binning time
+    def slot_drift(i):
+        def live(_):
+            proj = jax.lax.stop_gradient(
+                project_gaussians(
+                    final.gmap.params, final.gmap.aux.active, final.T[i],
+                    intr, cfg.sh_degree,
+                )
+            )
+            d = jnp.abs(proj.means2d - means2d_at_bin[i]).max(axis=-1)
+            m = valid_at_bin[i] & proj.valid
+            return jnp.where(m, d, 0.0).max()
+
+        return jax.lax.cond(batch.valid[i], live, lambda _: jnp.zeros(()), None)
+
+    max_drift = jnp.stack([slot_drift(i) for i in range(b)]).max()
+
     return MappingResult(
         gmap=final.gmap,
         batch=batch._replace(T_w2c=final.T, exposure=final.exposure),
@@ -409,6 +438,7 @@ def mapping_iterations(
         iteration_count=final.iteration_count,
         last_loss=final.last_loss,
         n_dropped=final.n_dropped,
+        max_drift=max_drift,
     )
 
 

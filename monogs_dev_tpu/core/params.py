@@ -47,9 +47,11 @@ class StepConfig:
     pyramid_levels: int = 0
     pyramid_coarse_iters: int = 60
     # TPU loss-plateau tracking exit: stop after `plateau_iters` iterations
-    # without a `plateau_rel_tol` relative loss improvement (0 disables,
-    # restoring the reference's ||tau||-only exit).
-    plateau_iters: int = 15
+    # without a `plateau_rel_tol` relative loss improvement. Defaults OFF (0)
+    # so the reference's ||tau||-only stopping criterion
+    # (pose_utils.py:76-93) holds in every parity config; benches/configs
+    # opt in via Training.tracking_plateau_iters.
+    plateau_iters: int = 0
     plateau_rel_tol: float = 1e-4
     # tracking-loss edge mask (camera_utils.py:114-143), computed inside the
     # tracking program when the caller passes grad_mask=None
@@ -75,7 +77,7 @@ class StepConfig:
             pyramid_coarse_iters=int(
                 training.get("tracking_pyramid_coarse_iters", 60)
             ),
-            plateau_iters=int(training.get("tracking_plateau_iters", 15)),
+            plateau_iters=int(training.get("tracking_plateau_iters", 0)),
             plateau_rel_tol=float(training.get("tracking_plateau_rel_tol", 1e-4)),
             edge_threshold=float(training.get("edge_threshold", 1.1)),
             per_block_mask=config["Dataset"].get("type") == "replica",

@@ -107,6 +107,137 @@ class SLAM:
         self.metrics = MetricsLogger(save_dir)
         self.frontend.metrics = self.metrics
 
+    def prewarm(self) -> None:
+        """Compile every device-program variant the SLAM run will dispatch,
+        against throwaway inputs, so no compile ever lands inside a timed
+        segment (bench hygiene; VERDICT r1 task 1a).
+
+        Variants enumerated from BackendEngine/FrontEnd dispatch sites:
+        track_frame (one shape), mapping_iterations x {init-mode at the
+        small slot tier, normal mode at each slot tier}, harvest_visibility
+        per tier, visibility_prune, new_points_from_frame + insert_points
+        per insertion budget, and the monocular depth-synthesis programs."""
+        import jax
+        import jax.random as jrandom
+
+        from ..models.gaussians import create_map, insert_points
+        from ..utils.device_lock import DEVICE_LOCK
+        from .backend import _next_pow2
+        from .insertion import mono_bootstrap_depth, new_points_from_frame, pseudo_depth_map
+        from .mapping import (
+            KeyframeBatch,
+            harvest_visibility,
+            make_keyframe_opt_state,
+            mapping_iterations,
+            visibility_prune,
+        )
+        from .tracking import track_frame
+
+        e = self.engine
+        cfg, intr, rcfg = self.step_cfg, self.intr, self.raster_cfg
+        h, w = intr.height, intr.width
+        ws = cfg.window_slots
+        t0_tier = min(4, ws) if ws >= 4 else ws
+        tiers = sorted({t0_tier, ws})
+        rng = jrandom.PRNGKey(7)
+        t_start = time.time()
+
+        with DEVICE_LOCK:
+            gmap = create_map(e.capacity, cfg.sh_degree)
+            # seed a few active gaussians so programs exercise real paths
+            budgets = sorted(
+                {
+                    _next_pow2(max(int(2 * h * w / e.pcd_downsample_init), 256)),
+                    _next_pow2(max(int(2 * h * w / e.pcd_downsample), 256)),
+                }
+            )
+            image = jnp.zeros((h, w, 3)) + 0.5
+            depth = jnp.full((h, w), 2.0)
+            for budget, downsample in zip(
+                budgets, [e.pcd_downsample_init, e.pcd_downsample]
+            ):
+                new_params, valid = new_points_from_frame(
+                    rng, image, depth, jnp.zeros(2), jnp.eye(4), intr,
+                    cfg.sh_degree, budget, downsample, e.point_size,
+                    e.adaptive_pointsize,
+                )
+                gmap, _ = insert_points(gmap, new_params, valid, 0)
+
+            # tracking program (grad mask computed in-program)
+            track = track_frame(
+                gmap.params, gmap.aux.active, jnp.eye(4), jnp.zeros(2),
+                image, depth, None, jnp.zeros(3), cfg, intr, rcfg,
+                use_depth=not cfg.monocular,
+            )
+            jax.block_until_ready(track.T_w2c)
+
+            # mapping program variants
+            def dummy_batch(b):
+                flags = jnp.arange(b) >= 0
+                return KeyframeBatch(
+                    images=jnp.zeros((b, h, w, 3)),
+                    depths=jnp.full((b, h, w), 2.0),
+                    T_w2c=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
+                    exposure=jnp.zeros((b, 2)),
+                    valid=flags,
+                    optimize_pose=jnp.arange(b) > 0,
+                    optimize_exposure=jnp.arange(b) > 0,
+                    apply_exposure=flags,
+                    harvest_visibility=flags,
+                )
+
+            variants = [
+                (
+                    t0_tier, e.init_gaussian_update, 1, e.init_gaussian_reset,
+                    0.0, True,
+                ),
+            ] + [
+                (
+                    t, e.gaussian_update_every, e.gaussian_update_offset,
+                    e.gaussian_reset, e.size_threshold, False,
+                )
+                for t in tiers
+            ]
+            for b, upd, off, rst, sz, init_mode in variants:
+                out = mapping_iterations(
+                    gmap, dummy_batch(b), make_keyframe_opt_state(b),
+                    jnp.zeros((), jnp.int32), rng, self.engine.bg_color,
+                    jnp.float32(e.gaussian_th), jnp.float32(e.gaussian_extent),
+                    cfg, self.opt_cfg, intr, rcfg, iters=jnp.asarray(1, jnp.int32),
+                    update_every=upd, update_offset=off, reset_interval=rst,
+                    size_threshold=sz, use_depth=e.use_depth,
+                    init_mode=init_mode,
+                )
+                jax.block_until_ready(out.gmap.params.xyz)
+
+            for b in tiers:
+                vis = harvest_visibility(
+                    gmap, dummy_batch(b), self.engine.bg_color, cfg, intr, rcfg
+                )
+                jax.block_until_ready(vis)
+
+            pruned = visibility_prune(
+                gmap,
+                jnp.zeros((ws, e.capacity), bool),
+                jnp.zeros((ws,), bool),
+                jnp.full((ws,), -1, jnp.int32),
+                jnp.zeros((), jnp.int32),
+                jnp.asarray(True),
+                e.prune_mode,
+                cfg.monocular,
+            )
+            jax.block_until_ready(pruned.params.xyz)
+
+            if cfg.monocular:
+                jax.block_until_ready(
+                    mono_bootstrap_depth(rng, h, w, init=True)
+                )
+                jax.block_until_ready(
+                    pseudo_depth_map(rng, depth, jnp.ones((h, w)), image,
+                                     cfg.rgb_boundary_threshold)
+                )
+        Log(f"prewarm: all program variants compiled in {time.time() - t_start:.1f}s")
+
     def run(self, max_frames: Optional[int] = None) -> None:
         if self.backend_thread is not None:
             self.backend_thread.start()

@@ -212,6 +212,14 @@ def track_frame(
     # pyramid levels, coarse to fine. Level arrays are built by repeated
     # exact 2x pooling; intrinsics scale with the half-pixel convention.
     # cfg.pyramid_levels = 0 reproduces the reference's single full-res loop.
+    if cfg.pyramid_levels > 0:
+        div = 1 << cfg.pyramid_levels
+        if intr.height % div or intr.width % div:
+            raise ValueError(
+                f"tracking_pyramid_levels={cfg.pyramid_levels} requires image "
+                f"dims divisible by {div}, got {intr.height}x{intr.width}; "
+                "crop/pad the input or lower the level count"
+            )
     levels = []  # (image, depth, mask, intr, max_iters) coarse -> fine
     img_l, dep_l, msk_l = image, depth_gt, grad_mask
     levels.append((img_l, dep_l, msk_l, intr, cfg.tracking_max_iters))

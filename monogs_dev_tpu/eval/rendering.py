@@ -26,24 +26,16 @@ from ..utils.losses import psnr as psnr_fn
 from ..utils.losses import ssim as ssim_fn
 from ..utils.ply import save_ply
 
-_lpips_model = None
-
-
 def _lpips(img_a: np.ndarray, img_b: np.ndarray):
-    """LPIPS(AlexNet) if the package + weights are available, else None."""
-    global _lpips_model
-    try:
-        import torch
-        import lpips  # type: ignore
+    """LPIPS(AlexNet) via the pure-JAX implementation (eval/lpips.py).
 
-        if _lpips_model is None:
-            _lpips_model = lpips.LPIPS(net="alex")
-        a = torch.from_numpy(img_a.transpose(2, 0, 1))[None] * 2 - 1
-        b = torch.from_numpy(img_b.transpose(2, 0, 1))[None] * 2 - 1
-        with torch.no_grad():
-            return float(_lpips_model(a, b).item())
-    except Exception:
-        return None
+    Returns (value, backend). backend is "alexnet-lpips-v0.1" when the
+    canonical weight npz is present, "alexnet-random" otherwise — values
+    from the random backbone are internally consistent but NOT comparable
+    to published LPIPS numbers, so the backend tag is reported alongside."""
+    from .lpips import lpips, lpips_backend
+
+    return lpips(img_a, img_b), lpips_backend()
 
 
 def eval_rendering(
@@ -61,6 +53,7 @@ def eval_rendering(
 ) -> dict:
     img_pred, img_gt = [], []
     psnrs, ssims, lpipss = [], [], []
+    lpips_backend = None
 
     end_idx = len(dataset) - 1
     for idx in range(0, end_idx, interval):
@@ -80,9 +73,8 @@ def eval_rendering(
             ssims.append(float(ssim_fn(pred, gt)))
             pred = np.asarray(pred)
             gt = np.asarray(gt)
-        lp = _lpips(pred, gt)
-        if lp is not None:
-            lpipss.append(lp)
+        lp, lpips_backend = _lpips(pred, gt)
+        lpipss.append(lp)
         img_pred.append(pred)
         img_gt.append(gt)
 
@@ -90,6 +82,7 @@ def eval_rendering(
         "mean_psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
         "mean_ssim": float(np.mean(ssims)) if ssims else float("nan"),
         "mean_lpips": float(np.mean(lpipss)) if lpipss else None,
+        "lpips_backend": lpips_backend if lpipss else None,
         "n_frames": len(psnrs),
     }
     Log(

@@ -7,11 +7,12 @@ VGA render on v5e. This kernel streams each tile's Gaussian list through
 VMEM in sublane-sized chunks, carrying the per-pixel transmittance in
 registers, so HBM traffic is just the gathered per-tile properties plus the
 tile outputs. Per-tile entry counts arrive via scalar prefetch, so sparse
-tiles only pay for the chunks they actually contain, and the forward loop
-terminates early once every pixel of the tile is saturated
-(max transmittance < t_min) — the CUDA rasterizer's early-out, which the
+tiles only pay for the chunks they actually contain, and the forward stops
+early once every pixel of the tile is saturated (max transmittance <
+t_min; checked once per BLOCK of chunks so the chunk pipeline never stalls
+on a data-dependent cond) — the CUDA rasterizer's early-out, which the
 dense XLA formulation cannot express. The effective chunk count is stored
-so the backward replays exactly the work the forward did.
+so the backward replays exactly the chunks that could have contributed.
 
 Transmittance is tracked multiplicatively (cumulative products by
 log-rounds of `pltpu.roll`), not in log space: one transcendental
@@ -51,6 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 #   0:2 mu, 2:5 conic, 5:8 color, 8 opacity, 9 depth  (D_IN = 10)
 D_IN = 10
 CHUNK = 16  # entries processed per inner step (sublane dimension)
+BLOCK = 4  # chunks per saturation check in the forward (unrolled)
+_PAD = CHUNK * BLOCK  # L padding granularity (forward runs whole blocks)
 
 
 def _interpret() -> bool:
@@ -121,22 +124,29 @@ def _blend_fwd_kernel(
     t_min: float,
     emit_touch: bool = False,
 ):
+    """Forward blend, structured for the TPU pipeline:
+
+    - the loop is a `fori_loop` over BLOCKs of chunks with the saturation
+      early-exit folded into the trip computation only between blocks (a
+      data-dependent `while_loop` cond per chunk stalled the Mosaic pipeline
+      — measured 6.8 ms vs the backward's 3.9 ms fori_loop on identical
+      work);
+    - per-gaussian weighted sums accumulate at full (CHUNK, P) shape and are
+      reduced across sublanes ONCE after the loop (5 sublane reductions per
+      chunk were ~1/3 of the inner-loop ops).
+    """
     p = tile * tile
     px, py = _pixel_grid(tile, tx_n)
     count = counts_sp[pl.program_id(0)]
     n_chunks = (count + CHUNK - 1) // CHUNK
+    n_blocks = (n_chunks + BLOCK - 1) // BLOCK
     if emit_touch:
         # entries live on sublanes (minor dim 8 is lane padding): chunked
         # dynamic stores are only legal on the sublane dimension (lane-dim
         # dynamic indices must be 128-multiples, CHUNK is not)
         touch_ref[0] = jnp.zeros((l_max, 8), jnp.int32)
 
-    def cond(carry):
-        k, t_run, *_ = carry
-        return (k < n_chunks) & (jnp.max(t_run) >= t_min)
-
-    def body(carry):
-        k, t_run, c_acc, d_acc, w_acc = carry
+    def chunk_step(k, t_run, cr_acc, cg_acc, cb_acc, d_acc, w_acc):
         chunk = props_ref[0, pl.ds(k * CHUNK, CHUNK), :]  # (CHUNK, D)
         alpha = _chunk_alpha(chunk, px, py, alpha_clamp, alpha_min)
         incl, excl = _cumprods(1.0 - alpha)
@@ -153,33 +163,58 @@ def _blend_fwd_kernel(
                 cnt, (CHUNK, 8)
             )
         col = chunk[:, 5:8]  # (CHUNK, 3)
-        c_acc = c_acc + jnp.concatenate(
-            [
-                jnp.sum(w * col[:, 0:1], axis=0, keepdims=True),
-                jnp.sum(w * col[:, 1:2], axis=0, keepdims=True),
-                jnp.sum(w * col[:, 2:3], axis=0, keepdims=True),
-            ],
-            axis=0,
-        )  # (3, P)
-        z = chunk[:, 9:10]
-        d_acc = d_acc + jnp.sum(w * z, axis=0, keepdims=True)
-        w_acc = w_acc + jnp.sum(w, axis=0, keepdims=True)
+        cr_acc = cr_acc + w * col[:, 0:1]
+        cg_acc = cg_acc + w * col[:, 1:2]
+        cb_acc = cb_acc + w * col[:, 2:3]
+        d_acc = d_acc + w * chunk[:, 9:10]
+        w_acc = w_acc + w
         t_run = t_run * incl[CHUNK - 1 : CHUNK, :]
-        return k + 1, t_run, c_acc, d_acc, w_acc
+        return t_run, cr_acc, cg_acc, cb_acc, d_acc, w_acc
 
+    def block_body(blk, carry):
+        nb_eff, t_run, cr, cg, cb, d_acc, w_acc = carry
+        live = (blk < nb_eff) & (jnp.max(t_run) >= t_min)
+        # saturation check once per BLOCK: shrink the effective trip count
+        nb_eff = jnp.where(live, nb_eff, jnp.minimum(nb_eff, blk))
+
+        def run(args):
+            t_run, cr, cg, cb, d_acc, w_acc = args
+            for j in range(BLOCK):  # unrolled: zero per-chunk loop overhead
+                t_run, cr, cg, cb, d_acc, w_acc = chunk_step(
+                    blk * BLOCK + j, t_run, cr, cg, cb, d_acc, w_acc
+                )
+            return t_run, cr, cg, cb, d_acc, w_acc
+
+        args = (t_run, cr, cg, cb, d_acc, w_acc)
+        args = jax.lax.cond(live, run, lambda a: a, args)
+        return (nb_eff,) + args
+
+    zc = jnp.zeros((CHUNK, p), jnp.float32)
     init = (
-        jnp.zeros((), jnp.int32),
+        n_blocks,
         jnp.ones((1, p), jnp.float32),
-        jnp.zeros((3, p), jnp.float32),
-        jnp.zeros((1, p), jnp.float32),
-        jnp.zeros((1, p), jnp.float32),
+        zc,
+        zc,
+        zc,
+        zc,
+        zc,
     )
-    k, t_run, c_acc, d_acc, w_acc = jax.lax.while_loop(cond, body, init)
-    color_ref[0] = c_acc
-    depth_ref[0] = d_acc
-    alpha_ref[0] = w_acc
+    nb_eff, t_run, cr, cg, cb, d_acc, w_acc = jax.lax.fori_loop(
+        0, n_blocks, block_body, init
+    )
+    color_ref[0] = jnp.concatenate(
+        [
+            jnp.sum(cr, axis=0, keepdims=True),
+            jnp.sum(cg, axis=0, keepdims=True),
+            jnp.sum(cb, axis=0, keepdims=True),
+        ],
+        axis=0,
+    )
+    depth_ref[0] = jnp.sum(d_acc, axis=0, keepdims=True)
+    alpha_ref[0] = jnp.sum(w_acc, axis=0, keepdims=True)
     tfinal_ref[0] = t_run
-    neff_ref[0] = jnp.full((8, 128), k, jnp.int32)
+    k_eff = jnp.minimum(nb_eff * BLOCK, n_chunks)
+    neff_ref[0] = jnp.full((8, 128), k_eff, jnp.int32)
 
 
 def _blend_bwd_kernel(
@@ -321,10 +356,10 @@ def _forward(
 ):
     t, l_max, _ = props.shape
     l_in = l_max
-    if l_max % CHUNK:
-        # chunked reads/writes need L to be a CHUNK multiple; padded entries
-        # have zero props and sit beyond every tile's count
-        l_max = -(-l_max // CHUNK) * CHUNK
+    if l_max % _PAD:
+        # block-unrolled reads/writes need L to be a CHUNK*BLOCK multiple;
+        # padded entries have zero props (zero alpha) beyond every count
+        l_max = -(-l_max // _PAD) * _PAD
         props = jnp.concatenate(
             [props, jnp.zeros((t, l_max - l_in, D_IN), props.dtype)], axis=1
         )
@@ -448,8 +483,8 @@ def _bwd_rule(tx_n, tile, alpha_clamp, alpha_min, t_min, residuals, cotangents):
     g_color, g_depth, g_alpha = cotangents
     t, l_max, _ = props.shape
     l_in = l_max
-    if l_max % CHUNK:
-        l_max = -(-l_max // CHUNK) * CHUNK
+    if l_max % _PAD:
+        l_max = -(-l_max // _PAD) * _PAD
         props = jnp.concatenate(
             [props, jnp.zeros((t, l_max - l_in, D_IN), props.dtype)], axis=1
         )

@@ -1,3 +1,17 @@
-from .mesh import make_mesh, dp_mapping_step
+from .mesh import (
+    DPBatch,
+    DPOptState,
+    dp_mapping_step,
+    make_dp_opt_state,
+    make_mesh,
+    shard_batch,
+)
 
-__all__ = ["make_mesh", "dp_mapping_step"]
+__all__ = [
+    "DPBatch",
+    "DPOptState",
+    "dp_mapping_step",
+    "make_dp_opt_state",
+    "make_mesh",
+    "shard_batch",
+]

@@ -2,21 +2,35 @@
 
 The reference is strictly single-GPU (SURVEY.md §2 "Parallelism &
 communication"); its scaling axes are map cardinality and window size. The
-natural TPU scale-out for Gaussian-splatting SLAM is keyframe/pixel data
+natural TPU scale-out for Gaussian-splatting SLAM is keyframe data
 parallelism: the map is replicated, the keyframe batch is sharded over the
-mesh's "kf" axis, every device rasterizes its keyframes, and gradients ride
-one `psum` over ICI before a replicated Adam step. Implemented with
-`shard_map` so the collective placement is explicit.
+mesh's "kf" axis, every device rasterizes its own keyframes, and map
+gradients + densification statistics ride one `psum` over ICI before a
+replicated Adam step and (cadenced) densify/prune. Per-keyframe state —
+pose tangents, exposures, and their Adam moments — stays sharded with its
+keyframes and never crosses the interconnect.
+
+This is the FULL mapping train step (the sharded analog of
+core/mapping.mapping_iterations): map Adam with the scheduled xyz LR,
+per-slot pose/exposure Adam + SE(3) retraction, densification-stat
+accumulation from the means2d probe, and densify/prune on the reference's
+cadence (slam_backend.py:277-305) executed replicated (identical RNG on
+every device keeps the map bitwise in sync without a broadcast).
+
+Implemented with `shard_map` for the gradient fan-out (explicit psum) and
+plain sharded-array ops for the replicated update. `check_vma=False`
+because the Pallas blend's out_shape carries no varying-mesh-axes
+annotation; every collective here is explicit.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..geometry.lie import se3_exp
 from ..models.camera import Intrinsics
@@ -24,12 +38,15 @@ from ..models.gaussians import (
     GaussianMap,
     GaussianParams,
     adam_step,
+    densify_and_prune,
     exponential_lr,
 )
 from ..ops.raster_types import RasterConfig
 from ..ops.rasterize import render_tiled
 from ..utils.losses import mapping_loss, isotropic_regularizer
 from ..core.params import MapOptConfig, StepConfig
+
+_ADAM_B1, _ADAM_B2, _ADAM_EPS = 0.9, 0.999, 1e-8  # torch.optim.Adam defaults
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "kf") -> Mesh:
@@ -41,6 +58,41 @@ def make_mesh(n_devices: int | None = None, axis: str = "kf") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+class DPBatch(NamedTuple):
+    """Keyframe batch sharded over the mesh's kf axis (leading dim B)."""
+
+    images: jnp.ndarray  # (B, H, W, 3)
+    depths: jnp.ndarray  # (B, H, W) — zeros when monocular
+    T_w2c: jnp.ndarray  # (B, 4, 4)
+    exposure: jnp.ndarray  # (B, 2)
+    valid: jnp.ndarray  # (B,) slot in use
+    optimize_pose: jnp.ndarray  # (B,)
+    optimize_exposure: jnp.ndarray  # (B,)
+
+
+class DPOptState(NamedTuple):
+    """Per-slot pose/exposure Adam moments, sharded with the batch."""
+
+    mu: jnp.ndarray  # (B, 8) over [tau(6), exposure(2)]
+    nu: jnp.ndarray  # (B, 8)
+    count: jnp.ndarray  # () replicated
+
+
+def make_dp_opt_state(n_slots: int) -> DPOptState:
+    return DPOptState(
+        mu=jnp.zeros((n_slots, 8)),
+        nu=jnp.zeros((n_slots, 8)),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def shard_batch(mesh: Mesh, batch: DPBatch) -> DPBatch:
+    """Place a host-built batch with the leading dim sharded over the mesh."""
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, shard), batch)
+
+
 def dp_mapping_step(
     mesh: Mesh,
     cfg: StepConfig,
@@ -48,70 +100,134 @@ def dp_mapping_step(
     intr: Intrinsics,
     raster_cfg: RasterConfig,
     use_depth: bool = True,
+    update_every: int = 150,
+    update_offset: int = 50,
+    size_threshold: float = 20.0,
 ):
-    """Build a jitted data-parallel mapping train step over `mesh`.
+    """Build the jitted data-parallel mapping train step over `mesh`.
 
-    Returns step(gmap, images (B,H,W,3), depths (B,H,W), poses (B,4,4),
-    valid (B,), iteration) -> (gmap, loss) with B sharded over the mesh.
+    Returns step(gmap, batch: DPBatch, opt: DPOptState, iteration, rng,
+    gaussian_th, gaussian_extent) -> (gmap, batch, opt, loss, n_dropped)
+    with batch/opt sharded over the kf axis and gmap replicated.
     """
     axis = mesh.axis_names[0]
 
-    def local_loss(params, active, images, depths, poses, valid):
-        def frame_loss(args):
-            img, dep, T, v = args
-            out = render_tiled(
-                params, active, T, intr, cfg.sh_degree, jnp.zeros(3),
-                raster_cfg, need_touched=False,
-            )
-            loss = mapping_loss(
-                out.color,
-                out.depth,
-                img,
-                dep if use_depth else None,
-                jnp.zeros(2),
-                cfg.monocular,
-                initialization=True,
-                alpha=cfg.alpha,
-                rgb_boundary_threshold=cfg.rgb_boundary_threshold,
-                render_opacity=out.alpha,
-            )
-            return loss * v.astype(jnp.float32)
-
-        losses = jax.lax.map(frame_loss, (images, depths, poses, valid))
-        return losses.sum()
-
-    def sharded_grads(params, active, images, depths, poses, valid):
+    def local_grads(params, active, images, depths, poses, exposures, valid):
+        """Per-device: accumulate map grads over the local keyframe shard;
+        per-frame tau/exp/probe grads stay local."""
         dev = jax.lax.axis_index(axis)
+        n = params.xyz.shape[0]
 
-        def lossf(p):
-            # isotropic regularizer counted once globally (device 0)
-            reg = jnp.where(
-                dev == 0, isotropic_regularizer(p.log_scales, active), 0.0
+        def frame(carry, args):
+            g_acc, loss_acc, gn_acc, den_acc, rmax_acc = carry
+            img, dep, T0, exp_ab, v = args
+
+            def lossf(p, tau, e, probe):
+                T = se3_exp(tau) @ T0
+                out = render_tiled(
+                    p, active, T, intr, cfg.sh_degree, jnp.zeros(3),
+                    raster_cfg, means2d_probe=probe, need_touched=False,
+                )
+                loss = mapping_loss(
+                    out.color,
+                    out.depth,
+                    img,
+                    dep if use_depth else None,
+                    e,
+                    cfg.monocular,
+                    initialization=False,
+                    alpha=cfg.alpha,
+                    rgb_boundary_threshold=cfg.rgb_boundary_threshold,
+                    render_opacity=out.alpha,
+                )
+                return loss * v.astype(jnp.float32), out.radii
+
+            (loss, radii), (g_p, g_tau, g_exp, g_probe) = jax.value_and_grad(
+                lossf, argnums=(0, 1, 2, 3), has_aux=True
+            )(params, jnp.zeros(6), exp_ab, jnp.zeros((n, 2)))
+
+            vis = (radii > 0.0) & v
+            g_acc = jax.tree.map(jnp.add, g_acc, g_p)
+            gn_acc = gn_acc + jnp.where(
+                vis, jnp.linalg.norm(g_probe, axis=-1), 0.0
             )
-            return local_loss(p, active, images, depths, poses, valid) + reg
+            den_acc = den_acc + vis.astype(jnp.float32)
+            rmax_acc = jnp.maximum(rmax_acc, jnp.where(vis, radii, 0.0))
+            return (g_acc, loss + loss_acc, gn_acc, den_acc, rmax_acc), (
+                g_tau,
+                g_exp,
+            )
 
-        loss, g = jax.value_and_grad(lossf)(params)
-        g = jax.tree.map(lambda x: jax.lax.psum(x, axis), g)
+        g0 = jax.tree.map(jnp.zeros_like, params)
+        init = (
+            g0,
+            jnp.zeros(()),
+            jnp.zeros((n,)),
+            jnp.zeros((n,)),
+            jnp.zeros((n,)),
+        )
+        (g_map, loss, grad_norm, denom, rmax), (g_tau, g_exp) = jax.lax.scan(
+            frame, init, (images, depths, poses, exposures, valid)
+        )
+
+        # isotropic regularizer counted once globally (device 0); its grad
+        # lands on that device's shard and is summed by the psum below
+        def reg_fn(s):
+            return jnp.where(
+                dev == 0, isotropic_regularizer(s, active), 0.0
+            )
+
+        reg, g_reg = jax.value_and_grad(reg_fn)(params.log_scales)
+        g_map = g_map._replace(log_scales=g_map.log_scales + g_reg)
+        loss = loss + reg
+
+        g_map = jax.tree.map(lambda x: jax.lax.psum(x, axis), g_map)
         loss = jax.lax.psum(loss, axis)
-        return g, loss
+        grad_norm = jax.lax.psum(grad_norm, axis)
+        denom = jax.lax.psum(denom, axis)
+        rmax = jax.lax.pmax(rmax, axis)
+        return g_map, loss, grad_norm, denom, rmax, g_tau, g_exp
 
     sharded = jax.shard_map(
-        sharded_grads,
+        local_grads,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P()),
-        # the Pallas blend's out_shape carries no varying-mesh-axes
-        # annotation; collectives here are explicit (psum above)
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P(), P(), P(axis), P(axis)),
         check_vma=False,
     )
 
+    pose_lr = jnp.concatenate(
+        [
+            jnp.full((3,), cfg.cam_trans_lr * cfg.pose_lr_scale),
+            jnp.full((3,), cfg.cam_rot_lr * cfg.pose_lr_scale),
+            jnp.full((2,), cfg.exposure_lr),
+        ]
+    )
+
     @jax.jit
-    def step(gmap: GaussianMap, images, depths, poses, valid, iteration):
-        grads, loss = sharded(
-            gmap.params, gmap.aux.active, images, depths, poses, valid
+    def step(
+        gmap: GaussianMap,
+        batch: DPBatch,
+        opt: DPOptState,
+        iteration,  # () int32 backend global counter (pre-increment)
+        rng: jax.Array,  # replicated — densify must sample identically
+        gaussian_th,
+        gaussian_extent,
+    ) -> Tuple[GaussianMap, DPBatch, DPOptState, jnp.ndarray, jnp.ndarray]:
+        it = iteration + 1
+        g_map, loss, grad_norm, denom, rmax, g_tau, g_exp = sharded(
+            gmap.params,
+            gmap.aux.active,
+            batch.images,
+            batch.depths,
+            batch.T_w2c,
+            batch.exposure,
+            batch.valid,
         )
+
+        # ---- replicated map Adam with the scheduled xyz LR
         xyz_lr = exponential_lr(
-            iteration,
+            it,
             opt_cfg.position_lr_init * opt_cfg.spatial_lr_scale,
             opt_cfg.position_lr_final * opt_cfg.spatial_lr_scale,
             lr_delay_mult=opt_cfg.position_lr_delay_mult,
@@ -126,8 +242,53 @@ def dp_mapping_step(
             opacity_logit=opt_cfg.opacity_lr,
         )
         params, moments = adam_step(
-            gmap.params, grads, gmap.moments, lrs, gmap.aux.active
+            gmap.params, g_map, gmap.moments, lrs, gmap.aux.active
         )
-        return GaussianMap(params, gmap.aux, moments), loss
+
+        # ---- sharded per-slot pose/exposure Adam + retraction (local math,
+        # no collectives: each slot's state lives with its keyframe shard)
+        g_kf = jnp.concatenate([g_tau, g_exp], axis=-1)  # (B, 8)
+        kcount = opt.count + 1
+        mu = _ADAM_B1 * opt.mu + (1 - _ADAM_B1) * g_kf
+        nu = _ADAM_B2 * opt.nu + (1 - _ADAM_B2) * g_kf * g_kf
+        c1 = 1.0 - _ADAM_B1 ** kcount.astype(jnp.float32)
+        c2 = 1.0 - _ADAM_B2 ** kcount.astype(jnp.float32)
+        adam_dir = pose_lr[None, :] * (mu / c1) / (jnp.sqrt(nu / c2) + _ADAM_EPS)
+        pose_mask = (batch.optimize_pose & batch.valid)[:, None]
+        exp_mask = (batch.optimize_exposure & batch.valid)[:, None]
+        tau_step = jnp.where(pose_mask, -adam_dir[:, :6], 0.0)
+        T_new = se3_exp(tau_step) @ batch.T_w2c
+        exp_new = batch.exposure - jnp.where(exp_mask, adam_dir[:, 6:], 0.0)
+
+        # ---- densification stats + cadenced densify/prune (replicated; the
+        # shared rng keeps every device's map bitwise identical)
+        valid_any = denom > 0.0
+        aux = gmap.aux._replace(
+            grad_accum=gmap.aux.grad_accum + grad_norm,
+            denom=gmap.aux.denom + denom,
+            max_radii=jnp.maximum(gmap.aux.max_radii, rmax),
+        )
+        gmap_new = GaussianMap(params, aux, moments)
+        del valid_any
+
+        do_update = (it % update_every) == update_offset
+        gmap_new, dropped = jax.lax.cond(
+            do_update,
+            lambda g: densify_and_prune(
+                g,
+                rng,
+                max_grad=opt_cfg.densify_grad_threshold,
+                min_opacity=gaussian_th,
+                extent=gaussian_extent,
+                max_screen_size=size_threshold,
+                percent_dense=opt_cfg.percent_dense,
+            ),
+            lambda g: (g, jnp.zeros((), jnp.int32)),
+            gmap_new,
+        )
+
+        batch_new = batch._replace(T_w2c=T_new, exposure=exp_new)
+        opt_new = DPOptState(mu, nu, kcount)
+        return gmap_new, batch_new, opt_new, loss, dropped
 
     return step

@@ -64,6 +64,42 @@ class MetricsLogger:
             f.write(json.dumps(record) + "\n")
 
 
+class CompileCounter:
+    """Counts XLA compilations (including persistent-cache loads) by
+    listening to the pxla 'Compiling <name> ...' log records.
+
+    Used by bench.py to ASSERT that the measured steady-state window runs
+    zero compiles — the round-1 driver bench lost ~20x to compiles landing
+    inside the timed segment (VERDICT r1)."""
+
+    def __init__(self):
+        import logging
+
+        self.count = 0
+        self.names = []
+
+        class _H(logging.Handler):
+            def emit(_self, record):
+                msg = record.getMessage()
+                if msg.startswith("Compiling "):
+                    self.count += 1
+                    self.names.append(msg.split(" ")[1])
+
+        self._handler = _H(level=logging.DEBUG)
+        self._logger = logging.getLogger("jax._src.interpreters.pxla")
+
+    def __enter__(self):
+        self._prev_level = self._logger.level
+        self._logger.setLevel(1)  # pxla logs compiles at DEBUG by default
+        self._logger.addHandler(self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        self._logger.removeHandler(self._handler)
+        self._logger.setLevel(self._prev_level)
+        return False
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: Optional[str]):
     """jax.profiler trace context; no-op when log_dir is None."""

@@ -62,7 +62,10 @@ def run_supervised(
             now = time.time()
             if now - last_output > stall_s or now > deadline:
                 stalled = True
-                os.killpg(proc.pid, signal.SIGKILL)
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass  # child exited during the sleep window
                 proc.wait()
                 break
             time.sleep(1.0)
