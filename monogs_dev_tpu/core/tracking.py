@@ -135,13 +135,23 @@ def track_frame(
 
     def run_level(carry, image_l, depth_l, mask_l, intr_l, max_iters):
         """One pyramid level: Adam/retraction while_loop at this scale."""
+        # tiles with no edge-mask pixel contribute nothing to the tracking
+        # loss (both terms are gated on mask_l): blend them as background
+        tile = raster_cfg.tile
+        tx_n = -(-intr_l.width // tile)
+        ty_n = -(-intr_l.height // tile)
+        m_pad = jnp.zeros((ty_n * tile, tx_n * tile), bool)
+        m_pad = m_pad.at[: intr_l.height, : intr_l.width].set(mask_l)
+        tile_mask = (
+            m_pad.reshape(ty_n, tile, tx_n, tile).any(axis=(1, 3)).reshape(-1)
+        )
 
         def loss_fn(tau, exp_ab, T, binning):
             T_new = se3_exp(tau) @ T
             proj = project_gaussians(params, active, T_new, intr_l, cfg.sh_degree)
             out = render_binned(
                 proj, proj.means2d, binning, intr_l, bg_color, raster_cfg,
-                need_touched=False,
+                need_touched=False, tile_mask=tile_mask,
             )
             return tracking_loss(
                 out.color,

@@ -51,8 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 # packed property columns (last-dim layout of the props array)
 #   0:2 mu, 2:5 conic, 5:8 color, 8 opacity, 9 depth  (D_IN = 10)
 D_IN = 10
-CHUNK = 16  # entries processed per inner step (sublane dimension)
-BLOCK = 4  # chunks per saturation check in the forward (unrolled)
+CHUNK = 32  # entries processed per inner step (sublane dimension)
+BLOCK = 2  # chunks per saturation check in the forward (unrolled)
 _PAD = CHUNK * BLOCK  # L padding granularity (forward runs whole blocks)
 
 

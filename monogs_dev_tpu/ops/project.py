@@ -45,6 +45,40 @@ def compute_cov3d(log_scales: jnp.ndarray, quats: jnp.ndarray, scale_modifier: f
     return m @ jnp.swapaxes(m, -1, -2)
 
 
+def _cov3d_components(log_scales, quats, scale_modifier):
+    """3D covariance as six (N,) arrays (upper triangle).
+
+    Component-wise so every op is a full-lane (N,) vector op — the (N,3,3)
+    matmul formulation wastes 125/128 lanes per tile on TPU and measured
+    ~10x slower through grad."""
+    s0 = jnp.exp(log_scales[:, 0]) * scale_modifier
+    s1 = jnp.exp(log_scales[:, 1]) * scale_modifier
+    s2 = jnp.exp(log_scales[:, 2]) * scale_modifier
+    q = quats / jnp.maximum(
+        jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12
+    )
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    # rotation matrix entries (build_rotation convention)
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    ss0, ss1, ss2 = s0 * s0, s1 * s1, s2 * s2
+    # Sigma_ab = sum_j R_aj R_bj s_j^2
+    c00 = r00 * r00 * ss0 + r01 * r01 * ss1 + r02 * r02 * ss2
+    c01 = r00 * r10 * ss0 + r01 * r11 * ss1 + r02 * r12 * ss2
+    c02 = r00 * r20 * ss0 + r01 * r21 * ss1 + r02 * r22 * ss2
+    c11 = r10 * r10 * ss0 + r11 * r11 * ss1 + r12 * r12 * ss2
+    c12 = r10 * r20 * ss0 + r11 * r21 * ss1 + r12 * r22 * ss2
+    c22 = r20 * r20 * ss0 + r21 * r21 * ss1 + r22 * r22 * ss2
+    return c00, c01, c02, c11, c12, c22
+
+
 def project_gaussians(
     params: GaussianParams,
     active: jnp.ndarray,
@@ -63,45 +97,60 @@ def project_gaussians(
     else:
         log_scales = params.log_scales
 
+    # Everything below is COMPONENT-WISE (N,) arithmetic: (N,3)/(N,3,3)
+    # formulations put 3-wide tensors on 128-wide lanes and measured ~10x
+    # slower through grad on TPU.
     R = T_w2c[:3, :3]
     t = T_w2c[:3, 3]
-    p_cam = params.xyz @ R.T + t
-    x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+    X, Y, Z = params.xyz[:, 0], params.xyz[:, 1], params.xyz[:, 2]
+    x = R[0, 0] * X + R[0, 1] * Y + R[0, 2] * Z + t[0]
+    y = R[1, 0] * X + R[1, 1] * Y + R[1, 2] * Z + t[1]
+    z = R[2, 0] * X + R[2, 1] * Y + R[2, 2] * Z + t[2]
     in_front = z > intr.znear
     z_safe = jnp.where(in_front, z, 1.0)
 
     fx, fy = intr.fx, intr.fy
+    inv_z = 1.0 / z_safe
     means2d = jnp.stack(
-        [fx * x / z_safe + intr.cx - 0.5, fy * y / z_safe + intr.cy - 0.5], axis=-1
+        [fx * x * inv_z + intr.cx - 0.5, fy * y * inv_z + intr.cy - 0.5],
+        axis=-1,
     )
 
     # EWA Jacobian with frustum clamping (forward.cu convention)
     limx, limy = 1.3 * intr.tanfovx, 1.3 * intr.tanfovy
-    tx = jnp.clip(x / z_safe, -limx, limx) * z_safe
-    ty = jnp.clip(y / z_safe, -limy, limy) * z_safe
-    inv_z = 1.0 / z_safe
+    tx = jnp.clip(x * inv_z, -limx, limx) * z_safe
+    ty = jnp.clip(y * inv_z, -limy, limy) * z_safe
     inv_z2 = inv_z * inv_z
     # J rows (2x3), W = R; cov2d = J W cov3d W^T J^T
     j00, j02 = fx * inv_z, -fx * tx * inv_z2
     j11, j12 = fy * inv_z, -fy * ty * inv_z2
-    cov3d = compute_cov3d(log_scales, quats, scale_modifier)
-    vw = R[None] @ cov3d @ R.T[None]  # (N, 3, 3) camera-space covariance
-    a = (
-        j00 * j00 * vw[:, 0, 0]
-        + 2.0 * j00 * j02 * vw[:, 0, 2]
-        + j02 * j02 * vw[:, 2, 2]
+    c00, c01, c02, c11, c12, c22 = _cov3d_components(
+        log_scales, quats, scale_modifier
     )
+    # vw = R cov3d R^T, upper triangle, via m_a = (R cov3d) row a
+    m00 = R[0, 0] * c00 + R[0, 1] * c01 + R[0, 2] * c02
+    m01 = R[0, 0] * c01 + R[0, 1] * c11 + R[0, 2] * c12
+    m02 = R[0, 0] * c02 + R[0, 1] * c12 + R[0, 2] * c22
+    m10 = R[1, 0] * c00 + R[1, 1] * c01 + R[1, 2] * c02
+    m11 = R[1, 0] * c01 + R[1, 1] * c11 + R[1, 2] * c12
+    m12 = R[1, 0] * c02 + R[1, 1] * c12 + R[1, 2] * c22
+    m20 = R[2, 0] * c00 + R[2, 1] * c01 + R[2, 2] * c02
+    m21 = R[2, 0] * c01 + R[2, 1] * c11 + R[2, 2] * c12
+    m22 = R[2, 0] * c02 + R[2, 1] * c12 + R[2, 2] * c22
+    vw00 = m00 * R[0, 0] + m01 * R[0, 1] + m02 * R[0, 2]
+    vw01 = m00 * R[1, 0] + m01 * R[1, 1] + m02 * R[1, 2]
+    vw02 = m00 * R[2, 0] + m01 * R[2, 1] + m02 * R[2, 2]
+    vw11 = m10 * R[1, 0] + m11 * R[1, 1] + m12 * R[1, 2]
+    vw12 = m10 * R[2, 0] + m11 * R[2, 1] + m12 * R[2, 2]
+    vw22 = m20 * R[2, 0] + m21 * R[2, 1] + m22 * R[2, 2]
+    a = j00 * j00 * vw00 + 2.0 * j00 * j02 * vw02 + j02 * j02 * vw22
     b = (
-        j00 * j11 * vw[:, 0, 1]
-        + j00 * j12 * vw[:, 0, 2]
-        + j02 * j11 * vw[:, 1, 2]
-        + j02 * j12 * vw[:, 2, 2]
+        j00 * j11 * vw01
+        + j00 * j12 * vw02
+        + j02 * j11 * vw12
+        + j02 * j12 * vw22
     )
-    c = (
-        j11 * j11 * vw[:, 1, 1]
-        + 2.0 * j11 * j12 * vw[:, 1, 2]
-        + j12 * j12 * vw[:, 2, 2]
-    )
+    c = j11 * j11 * vw11 + 2.0 * j11 * j12 * vw12 + j12 * j12 * vw22
     a = a + 0.3
     c = c + 0.3
 
@@ -118,14 +167,17 @@ def project_gaussians(
     radius = jnp.where(valid, radius, 0.0)
 
     # view-dependent color: SH evaluated along camera->gaussian direction
-    cam_center = -R.T @ t
-    dirs = params.xyz - cam_center
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
-    if params.f_rest.shape[1] > 0:
+    # (direction math skipped entirely at degree 0, where SH is isotropic)
+    if sh_degree > 0 and params.f_rest.shape[1] > 0:
+        cam_center = -R.T @ t
+        dirs = params.xyz - cam_center
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8
+        )
         sh = jnp.concatenate([params.f_dc, params.f_rest], axis=1)
+        color = jnp.maximum(eval_sh(sh_degree, sh, dirs) + 0.5, 0.0)
     else:
-        sh = params.f_dc
-    color = jnp.maximum(eval_sh(sh_degree, sh, dirs) + 0.5, 0.0)
+        color = jnp.maximum(eval_sh(0, params.f_dc, params.xyz) + 0.5, 0.0)
 
     opacity = jnp.where(valid, opacity, 0.0)
     return ProjectedGaussians(

@@ -237,13 +237,24 @@ def render_binned(
     bg_color: jnp.ndarray,
     config: RasterConfig,
     need_touched: bool,
+    tile_mask: jnp.ndarray | None = None,
 ) -> RenderOutput:
-    """Composite with a prebuilt binning. Differentiable w.r.t. projection."""
+    """Composite with a prebuilt binning. Differentiable w.r.t. projection.
+
+    `tile_mask` (n_tiles,) bool: tiles whose pixels are entirely excluded by
+    the caller's loss mask render as background at ~zero cost (their entry
+    count is zeroed, so the blend kernel skips every chunk) — bit-exact for
+    any loss that is masked to the same pixels. Used by the tracking loop,
+    whose loss is gated on the Scharr edge mask everywhere."""
     tile = config.tile
     tx_n, ty_n, n_tiles = _grid_dims(intr, tile)
     h, w = intr.height, intr.width
     n = means2d.shape[0]
     l_max = config.max_per_tile
+    if tile_mask is not None:
+        binning = binning._replace(
+            counts=jnp.where(tile_mask, binning.counts, 0)
+        )
 
     props = jnp.concatenate(
         [

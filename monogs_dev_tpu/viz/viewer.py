@@ -60,6 +60,106 @@ def render_view(
     raise ValueError(f"unknown mode {mode}")
 
 
+def render_ellipsoids(
+    params,
+    active,
+    T_w2c,
+    intr: Intrinsics,
+    raster_cfg: RasterConfig = RasterConfig(),
+    scale_modifier: float = 1.0,
+) -> np.ndarray:
+    """Ellipsoid debug view: every Gaussian rendered as a solid opaque
+    ellipse in its own color — the diagnostic role of the reference's GL
+    instanced-quad viewer (gui/gl_render, selected via the GUI's ellipsoid
+    mode, slam_gui.py:598-638). Opacities are forced to ~1 so structure,
+    scale, and orientation are visible regardless of training state."""
+    solid = params._replace(
+        opacity_logit=jnp.full_like(params.opacity_logit, 12.0)  # sigmoid->1
+    )
+    out = render_tiled(
+        solid,
+        active,
+        jnp.asarray(T_w2c, jnp.float32),
+        intr,
+        0,
+        config=raster_cfg,
+        scale_modifier=scale_modifier,
+        need_touched=False,
+    )
+    return np.clip(np.asarray(out.color), 0.0, 1.0)
+
+
+def orbit_poses(
+    center: np.ndarray, radius: float, n_frames: int, elevation: float = 0.35
+) -> list:
+    """W2C poses orbiting `center` on a tilted circle, always looking at it."""
+    poses = []
+    for i in range(n_frames):
+        ang = 2.0 * np.pi * i / max(n_frames, 1)
+        eye = center + radius * np.array(
+            [np.sin(ang), -np.sin(elevation), -np.cos(ang) * np.cos(elevation)]
+        )
+        fwd = center - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.array([0.0, -1.0, 0.0])
+        right = np.cross(up, fwd)
+        right = right / np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R_c2w = np.stack([right, up2, fwd], axis=1)  # columns
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R_c2w.T
+        T[:3, 3] = -R_c2w.T @ eye
+        poses.append(T)
+    return poses
+
+
+def export_turntable(
+    params,
+    active,
+    intr: Intrinsics,
+    out_path: str,
+    n_frames: int = 36,
+    mode: str = "color",
+    radius: float | None = None,
+    raster_cfg: RasterConfig = RasterConfig(),
+    fps: int = 12,
+) -> str:
+    """Render an orbit around the map and write an animated GIF (plus the
+    individual PNG frames next to it) — the headless product surface for
+    the reference GUI's interactive inspection."""
+    act = np.asarray(active)
+    xyz = np.asarray(params.xyz)[act]
+    if xyz.size == 0:
+        raise ValueError("no active gaussians to visualize")
+    center = xyz.mean(axis=0)
+    if radius is None:
+        radius = 1.5 * float(np.percentile(np.linalg.norm(xyz - center, axis=-1), 90))
+
+    from PIL import Image
+
+    frames = []
+    frame_dir = os.path.splitext(out_path)[0] + "_frames"
+    os.makedirs(frame_dir, exist_ok=True)
+    for i, T in enumerate(orbit_poses(center, radius, n_frames)):
+        if mode == "ellipsoid":
+            img = render_ellipsoids(params, active, T, intr, raster_cfg)
+        else:
+            img = render_view(
+                params, active, T, intr, mode=mode, raster_cfg=raster_cfg
+            )
+        save_view_png(img, os.path.join(frame_dir, f"orbit_{i:04d}.png"))
+        frames.append(Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)))
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    frames[0].save(
+        out_path,
+        save_all=True,
+        append_images=frames[1:],
+        duration=int(1000 / fps),
+        loop=0,
+    )
+    return out_path
+
+
 def _colormap(x: np.ndarray, name: str) -> np.ndarray:
     lo, hi = np.percentile(x, 2.0), np.percentile(x, 98.0)
     xn = np.clip((x - lo) / max(hi - lo, 1e-9), 0.0, 1.0)

@@ -229,3 +229,84 @@ class TestKnn:
         np.fill_diagonal(d2, np.inf)
         want = np.sort(d2, axis=1)[:, :3].mean(axis=1)
         np.testing.assert_allclose(out[:25], want, rtol=1e-4)
+
+
+class TestTileMaskSkip:
+    def test_masked_tiles_render_background_others_exact(self):
+        """render_binned(tile_mask=...) must be bit-exact on unmasked tiles
+        and pure background on masked ones (the tracking loss-render skip)."""
+        from monogs_dev_tpu.ops.project import project_gaussians
+        from monogs_dev_tpu.ops.rasterize import build_binning, render_binned
+
+        params, active = make_scene(60)
+        bg = jnp.array([0.1, 0.2, 0.3])
+        proj = project_gaussians(params, active, jnp.eye(4), INTR, 0)
+        binning = build_binning(proj, INTR, CFG)
+        full = render_binned(
+            proj, proj.means2d, binning, INTR, bg, CFG, need_touched=False
+        )
+        n_tiles = binning.counts.shape[0]
+        tile_mask = (jnp.arange(n_tiles) % 2) == 0
+        part = render_binned(
+            proj, proj.means2d, binning, INTR, bg, CFG,
+            need_touched=False, tile_mask=tile_mask,
+        )
+        tile = CFG.tile
+        tx_n = -(-INTR.width // tile)
+        for t in range(n_tiles):
+            ty, tx = t // tx_n, t % tx_n
+            sl = np.s_[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+            if bool(tile_mask[t]):
+                np.testing.assert_array_equal(
+                    np.asarray(part.color[sl]), np.asarray(full.color[sl])
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(part.depth[sl]), np.asarray(full.depth[sl])
+                )
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(part.color[sl]),
+                    np.broadcast_to(np.asarray(bg), part.color[sl].shape),
+                    atol=1e-6,
+                )
+                np.testing.assert_array_equal(np.asarray(part.alpha[sl]), 0.0)
+
+    def test_masked_loss_gradients_match(self):
+        """Gradients of a mask-gated loss are identical with and without the
+        tile skip."""
+        from monogs_dev_tpu.ops.project import project_gaussians
+        from monogs_dev_tpu.ops.rasterize import build_binning, render_binned
+
+        params, active = make_scene(60)
+        bg = jnp.zeros(3)
+        proj0 = project_gaussians(params, active, jnp.eye(4), INTR, 0)
+        binning = build_binning(proj0, INTR, CFG)
+        tile = CFG.tile
+        tx_n = -(-INTR.width // tile)
+        ty_n = -(-INTR.height // tile)
+        n_tiles = tx_n * ty_n
+        tile_mask = (jnp.arange(n_tiles) % 3) != 0
+        pix_mask = (
+            jnp.broadcast_to(
+                tile_mask.reshape(ty_n, 1, tx_n, 1), (ty_n, tile, tx_n, tile)
+            )
+            .reshape(ty_n * tile, tx_n * tile)[: INTR.height, : INTR.width]
+        )
+        target = jnp.full((INTR.height, INTR.width, 3), 0.4)
+
+        def loss(xyz, use_tile_mask):
+            p = params._replace(xyz=xyz)
+            proj = project_gaussians(p, active, jnp.eye(4), INTR, 0)
+            out = render_binned(
+                proj, proj.means2d, binning, INTR, bg, CFG,
+                need_touched=False,
+                tile_mask=tile_mask if use_tile_mask else None,
+            )
+            err = jnp.abs(out.color - target).sum(-1)
+            return jnp.where(pix_mask, err, 0.0).sum()
+
+        g_full = jax.grad(lambda x: loss(x, False))(params.xyz)
+        g_skip = jax.grad(lambda x: loss(x, True))(params.xyz)
+        np.testing.assert_allclose(
+            np.asarray(g_full), np.asarray(g_skip), atol=1e-5
+        )

@@ -10,17 +10,29 @@ import jax, jax.numpy as jnp
 from monogs_dev_tpu.data.synthetic import make_synthetic_scene
 from monogs_dev_tpu.models.camera import Intrinsics
 from monogs_dev_tpu.ops import RasterConfig
+from monogs_dev_tpu.ops import blend_pallas
 from monogs_dev_tpu.ops.project import project_gaussians
 from monogs_dev_tpu.ops.rasterize import build_binning, render_binned, _tile_gather
 from monogs_dev_tpu.ops.blend_pallas import blend_tiles_pallas
 from monogs_dev_tpu.geometry import se3_exp
 
+# kernel-parameter sweep knobs
+if os.environ.get("MONOGS_CHUNK"):
+    blend_pallas.CHUNK = int(os.environ["MONOGS_CHUNK"])
+if os.environ.get("MONOGS_BLOCK"):
+    blend_pallas.BLOCK = int(os.environ["MONOGS_BLOCK"])
+blend_pallas._PAD = blend_pallas.CHUNK * blend_pallas.BLOCK
+L = int(os.environ.get("MONOGS_L", "1024"))
+
 intr = Intrinsics(fx=576.0, fy=576.0, cx=320.0, cy=240.0, width=640, height=480)
-cfg = RasterConfig(max_per_tile=1024, k_dup=16, tile_group=60)
+cfg = RasterConfig(max_per_tile=L, k_dup=16, tile_group=60)
 N = 32768
 params, active = make_synthetic_scene(jax.random.PRNGKey(0), n=N, scale=0.03)
 K = 15
-print(f"probe_r2: N={N} L={cfg.max_per_tile}", flush=True)
+print(
+    f"probe_r2: N={N} L={L} CHUNK={blend_pallas.CHUNK} BLOCK={blend_pallas.BLOCK}",
+    flush=True,
+)
 
 def chain(name, f, x0, iters=K):
     @jax.jit
