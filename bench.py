@@ -46,6 +46,8 @@ def child() -> None:
     n_total = len(slam.dataset)
     for i in range(n_total):
         slam.dataset.render_frame(i)
+        if i % 16 == 15:  # keep the watchdog's stall detector fed
+            print(f"bench: prerendered {i + 1}/{n_total}", flush=True)
     print(f"bench: {n_total} frames prerendered", flush=True)
 
     # compile every program variant up front (explicit AOT warmup) ...

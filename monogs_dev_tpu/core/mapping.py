@@ -425,7 +425,19 @@ def mapping_iterations(
             )
             d = jnp.abs(proj.means2d - means2d_at_bin[i]).max(axis=-1)
             m = valid_at_bin[i] & proj.valid
-            return jnp.where(m, d, 0.0).max()
+            # only gaussians whose binned footprint could touch the screen:
+            # off-frame ones (valid but far outside the frustum margin) have
+            # wildly z-sensitive pixel coords yet zero tile entries, so their
+            # "drift" is noise, not truncated gradient
+            margin = float(raster_cfg.tile) + cfg.mapping_rebin_dilation
+            mu0 = means2d_at_bin[i]
+            onscreen = (
+                (mu0[:, 0] > -margin)
+                & (mu0[:, 0] < intr.width + margin)
+                & (mu0[:, 1] > -margin)
+                & (mu0[:, 1] < intr.height + margin)
+            )
+            return jnp.where(m & onscreen, d, 0.0).max()
 
         return jax.lax.cond(batch.valid[i], live, lambda _: jnp.zeros(()), None)
 

@@ -104,7 +104,14 @@ class SLAM:
         )
         self.fps: float = 0.0
         self.timers = PhaseTimers()
-        self.metrics = MetricsLogger(save_dir)
+        self.metrics = MetricsLogger(
+            save_dir,
+            use_wandb=bool(config["Results"].get("use_wandb", False)),
+            wandb_kwargs={
+                "project": config["Dataset"].get("type", "monogs_tpu"),
+                "config": config,
+            },
+        )
         self.frontend.metrics = self.metrics
 
     def prewarm(self) -> None:
@@ -170,6 +177,7 @@ class SLAM:
                 use_depth=not cfg.monocular,
             )
             jax.block_until_ready(track.T_w2c)
+            Log(f"prewarm: tracking compiled ({time.time() - t_start:.1f}s)")
 
             # mapping program variants
             def dummy_batch(b):
@@ -209,6 +217,10 @@ class SLAM:
                     init_mode=init_mode,
                 )
                 jax.block_until_ready(out.gmap.params.xyz)
+                Log(
+                    f"prewarm: mapping variant b={b} init={init_mode} "
+                    f"compiled ({time.time() - t_start:.1f}s)"
+                )
 
             for b in tiers:
                 vis = harvest_visibility(
@@ -317,7 +329,21 @@ class SLAM:
             )
             with DEVICE_LOCK:
                 save_gaussians(params, active, self.save_dir, "final", final=True)
+            # Before/After table artifact + wandb mirror (slam.py:143-186)
+            self.metrics.log_table(
+                "Metrics",
+                ["tag", "psnr", "ssim", "lpips", "RMSE ATE", "FPS"],
+                [
+                    [tag, r["mean_psnr"], r["mean_ssim"], r["mean_lpips"],
+                     results["ate"], self.fps]
+                    for tag, r in (
+                        ("Before", results["before_opt"]),
+                        ("After", results["after_opt"]),
+                    )
+                ],
+            )
         self.metrics.log(results)
+        self.metrics.finish()
         return results
 
     def save_checkpoint(self, path: Optional[str] = None) -> Optional[str]:

@@ -332,7 +332,14 @@ class EurocDataset(StereoDataset):
 
 
 class RealsenseDataset(BaseDataset):
-    """Live Realsense capture (dataset.py:429-519). Requires pyrealsense2."""
+    """Live Realsense capture (dataset.py:429-519). Requires pyrealsense2.
+
+    Parity with the reference live path: color at 640x480/30fps with auto
+    exposure and auto white balance DISABLED and a fixed exposure (photo-
+    metric consistency for tracking); when `sensor_type` is 'depth', the
+    depth stream is enabled and every frameset is aligned to the color
+    camera, with depth scaled to meters by the device's depth scale. The
+    color image is undistorted with the device-reported coefficients."""
 
     def __init__(self, config):
         try:
@@ -345,10 +352,23 @@ class RealsenseDataset(BaseDataset):
         # Live capture: intrinsics come from the device, not the YAML.
         self.config = config
         self.rs = rs
+        ds = config["Dataset"]
+        self.has_depth = ds.get("sensor_type", "monocular") == "depth"
         self.pipeline = rs.pipeline()
         cfg = rs.config()
         cfg.enable_stream(rs.stream.color, 640, 480, rs.format.bgr8, 30)
+        if self.has_depth:
+            cfg.enable_stream(rs.stream.depth)
         profile = self.pipeline.start(cfg)
+
+        # fixed photometrics (dataset.py:453-456); exposure configurable
+        color_sensor = profile.get_device().query_sensors()[1]
+        color_sensor.set_option(rs.option.enable_auto_exposure, False)
+        color_sensor.set_option(rs.option.enable_auto_white_balance, False)
+        color_sensor.set_option(
+            rs.option.exposure, float(ds.get("exposure", 200.0))
+        )
+
         intr = (
             profile.get_stream(rs.stream.color)
             .as_video_stream_profile()
@@ -356,15 +376,50 @@ class RealsenseDataset(BaseDataset):
         )
         self.fx, self.fy, self.cx, self.cy = intr.fx, intr.fy, intr.ppx, intr.ppy
         self.width, self.height = intr.width, intr.height
-        self.has_depth = False
-        self.depth_scale = None
+        self.dist_coeffs = np.asarray(intr.coeffs, np.float32)
+        self._undistort = None
+        if np.any(self.dist_coeffs != 0.0):
+            try:  # pragma: no cover - cv2 optional
+                import cv2
+
+                K = np.array(
+                    [[self.fx, 0, self.cx], [0, self.fy, self.cy], [0, 0, 1]]
+                )
+                m1, m2 = cv2.initUndistortRectifyMap(
+                    K, self.dist_coeffs, np.eye(3), K,
+                    (self.width, self.height), cv2.CV_32FC1,
+                )
+                self._undistort = lambda im: cv2.remap(im, m1, m2, cv2.INTER_LINEAR)
+            except Exception:
+                pass
+
+        if self.has_depth:
+            self.align = rs.align(rs.stream.color)
+            self.depth_scale = (
+                profile.get_device().first_depth_sensor().get_depth_scale()
+            )
+        else:
+            self.align = None
+            self.depth_scale = None
         self.num_imgs = 999999
 
     def __getitem__(self, idx: int):
-        frame = self.pipeline.wait_for_frames().get_color_frame()
+        frameset = self.pipeline.wait_for_frames()
+        depth = None
+        if self.has_depth:
+            frameset = self.align.process(frameset)
+            depth_frame = frameset.get_depth_frame()
+            # device depth units -> meters, aligned to the color pixels
+            depth = (
+                np.asanyarray(depth_frame.get_data()).astype(np.float32)
+                * self.depth_scale
+            )
+        frame = frameset.get_color_frame()
         image = np.asanyarray(frame.get_data())[..., ::-1]  # BGR -> RGB
         image = np.clip(image.astype(np.float32) / 255.0, 0.0, 1.0)
-        return image, None, np.eye(4)
+        if self._undistort is not None:
+            image = self._undistort(image)
+        return image, depth, np.eye(4)
 
 
 class RealsenseReplayDataset(MonocularDataset):

@@ -44,24 +44,73 @@ class PhaseTimers:
 
 
 class MetricsLogger:
-    """JSONL metrics stream (the wandb stand-in; one object per log call)."""
+    """JSONL metrics stream, optionally mirrored to wandb.
 
-    def __init__(self, save_dir: Optional[str], filename: str = "metrics.jsonl"):
+    The reference logs per-frame ATE and a Before/After metrics table to
+    wandb (slam.py:243-250, 144-186; eval_utils.py:112). Here the JSONL
+    file is the always-on primary sink (works offline); when the config
+    asks for wandb (`Results.use_wandb`) and the package is importable, a
+    run is initialized lazily and every record/table is mirrored to it.
+    Tables are additionally written as markdown artifacts in the run dir
+    so the before/after comparison exists without any network."""
+
+    def __init__(
+        self,
+        save_dir: Optional[str],
+        filename: str = "metrics.jsonl",
+        use_wandb: bool = False,
+        wandb_kwargs: Optional[dict] = None,
+    ):
+        self.save_dir = save_dir
         self.path = (
             os.path.join(save_dir, filename) if save_dir is not None else None
         )
         if self.path is not None:
             os.makedirs(save_dir, exist_ok=True)
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb  # not bundled in this container; best-effort
+
+                wandb.init(**(wandb_kwargs or {}))
+                self._wandb = wandb
+            except Exception as exc:  # ImportError or init failure
+                from .logging import Log
+
+                Log(f"wandb unavailable ({exc}); JSONL metrics only")
 
     def log(self, metrics: dict, step: Optional[int] = None) -> None:
-        if self.path is None:
-            return
         record = dict(metrics)
         if step is not None:
             record["step"] = step
+        if self._wandb is not None:
+            self._wandb.log(record, step=step)
+        if self.path is None:
+            return
         record["ts"] = time.time()
         with open(self.path, "a", encoding="utf-8") as f:
-            f.write(json.dumps(record) + "\n")
+            f.write(json.dumps(record, default=str) + "\n")
+
+    def log_table(self, name: str, columns: list, rows: list) -> None:
+        """Before/After-style metrics table (reference slam.py:143-186)."""
+        if self._wandb is not None:
+            self._wandb.log({name: self._wandb.Table(columns=columns, data=rows)})
+        if self.save_dir is None:
+            return
+        path = os.path.join(self.save_dir, f"{name.lower()}_table.md")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("| " + " | ".join(columns) + " |\n")
+            f.write("|" + "---|" * len(columns) + "\n")
+            for row in rows:
+                cells = [
+                    f"{v:.4f}" if isinstance(v, float) else str(v) for v in row
+                ]
+                f.write("| " + " | ".join(cells) + " |\n")
+
+    def finish(self) -> None:
+        if self._wandb is not None:
+            self._wandb.finish()
+            self._wandb = None
 
 
 class CompileCounter:

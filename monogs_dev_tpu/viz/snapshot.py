@@ -34,6 +34,11 @@ class GaussianPacket:
     gt_depth: Optional[np.ndarray] = None
     keyframe_poses: Optional[List[np.ndarray]] = None
     kf_window: Optional[Dict[int, list]] = None
+    # full-map device references for same-renderer GUI re-rendering (JAX
+    # arrays are immutable, so keeping them is a free "deep copy" — the
+    # analogue of the reference's clone_obj-into-the-packet)
+    params: Optional[object] = None  # GaussianParams
+    active: Optional[object] = None  # (N,) bool
     finish: bool = False
 
     @staticmethod
@@ -48,6 +53,8 @@ class GaussianPacket:
             rgb=np.clip(np.asarray(sh_to_rgb(params.f_dc[:, 0, :]))[mask], 0, 1),
             opacity=np.asarray(opacity)[mask],
             scales=np.asarray(scales)[mask],
+            params=params,
+            active=active,
             **kwargs,
         )
 

@@ -43,6 +43,23 @@ def main() -> int:
 
     save_dir = make_save_dir(config, args.config)
     slam = SLAM(config, save_dir=save_dir, seed=args.seed)
+    gui_thread = None
+    if slam.viz_channel is not None:
+        import os
+        import threading
+
+        if os.environ.get("DISPLAY"):
+            from monogs_dev_tpu.viz.gui import run_gui
+
+            gui_thread = threading.Thread(
+                target=run_gui,
+                args=(slam.viz_channel, slam.intr, slam.raster_cfg),
+                daemon=True,
+            )
+            gui_thread.start()
+        else:
+            Log("use_gui=True but no $DISPLAY; GUI disabled "
+                "(use viz.OfflineViewer / export_turntable headless)")
     try:
         slam.run(max_frames=args.max_frames)
         if args.eval or config["Results"].get("eval_rendering", False):

@@ -160,3 +160,24 @@ class TestCheckpoint:
         assert host["current_window"] == [5, 2]
         assert host["kf_ids"] == [2, 5]
         np.testing.assert_allclose(host["kf_exposure"][0], [0.1, -0.2], atol=1e-7)
+
+
+class TestMetricsLogger:
+    def test_table_artifact_and_wandb_fallback(self, tmp_path):
+        from monogs_dev_tpu.utils.profiling import MetricsLogger
+
+        # use_wandb=True with no wandb package must fall back to JSONL-only
+        m = MetricsLogger(str(tmp_path), use_wandb=True)
+        m.log({"ate": 0.01}, step=2)
+        m.log_table(
+            "Metrics",
+            ["tag", "psnr", "ssim", "lpips", "RMSE ATE", "FPS"],
+            [["Before", 20.0, 0.8, None, 0.01, 2.0],
+             ["After", 22.5, 0.85, None, 0.01, 2.0]],
+        )
+        m.finish()
+        lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+        assert len(lines) == 1 and '"step": 2' in lines[0]
+        table = (tmp_path / "metrics_table.md").read_text()
+        assert table.splitlines()[2].startswith("| Before | 20.0000 |")
+        assert "| After | 22.5000 |" in table

@@ -69,6 +69,42 @@ class TestTUM:
         np.testing.assert_allclose(pose[:3, 3], [-0.2, 0.0, 0.0], atol=1e-6)
 
 
+class TestTUMFixture:
+    """The committed TUM-format surface sequence (tools/make_tum_fixture.py)
+    must parse through the real TUM loader with consistent GT and depth."""
+
+    FIXTURE = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "tum_surface",
+    )
+
+    def test_fixture_parses(self):
+        if not os.path.isdir(self.FIXTURE):
+            pytest.skip("fixture not generated")
+        config = DotDict.wrap(
+            {
+                "Dataset": {
+                    "type": "tum",
+                    "dataset_path": self.FIXTURE,
+                    "Calibration": _calib(w=160, h=120),
+                }
+            }
+        )
+        ds = TUMDataset(config)
+        assert len(ds) == 40  # 30 Hz < 32 Hz keeps every frame
+        image, depth, pose = ds[0]
+        assert image.shape == (120, 160, 3)
+        assert depth.shape == (120, 160)
+        valid = depth > 0
+        assert valid.mean() > 0.8 and 2.0 < depth[valid].mean() < 4.5
+        # GT roundtrip: frame 0 of the orbit, quaternion -> matrix -> W2C
+        from monogs_dev_tpu.data.synthetic import orbit_pose
+
+        np.testing.assert_allclose(pose, orbit_pose(0, 40, sweep=0.7), atol=1e-5)
+        # depth/rgb consistency: the rendered image is not degenerate
+        assert 0.05 < image.mean() < 0.95
+
+
 class TestReplica:
     @pytest.fixture
     def replica_dir(self, tmp_path):
