@@ -79,6 +79,7 @@ def child() -> None:
             f"{cc.count} compiles {cc.names[:8]}",
             flush=True,
         )
+        print(f"bench: timers {json.dumps(slam.timers.summary())}", flush=True)
         frame += n_meas
         if cc.count == 0:
             break

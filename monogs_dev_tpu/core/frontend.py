@@ -185,6 +185,7 @@ class FrontEnd:
         self.median_depth = 4.0
         self.cur_frame_idx = 0  # persistent: run() is resumable
         self.metrics = None  # optional MetricsLogger injected by SLAM
+        self.timers = None  # optional PhaseTimers injected by SLAM
         # frontend's render snapshot of the map (synced from backend)
         self.snapshot = (engine.gmap.params, engine.gmap.aux.active)
         self.ate_log: List[dict] = []
@@ -360,7 +361,11 @@ class FrontEnd:
             if pump is not None:
                 # inline scheduler: time-slice background mapping rounds on
                 # this thread (the reference's backend-process idle loop)
+                t_pump = time.time()
                 pump()
+                if self.timers is not None:
+                    self.timers.total["pump"] += time.time() - t_pump
+                    self.timers.count["pump"] += 1
             self._drain_frontend_queue()
 
             # GUI pause channel (slam_frontend.py:333-343)
@@ -395,7 +400,11 @@ class FrontEnd:
                 time.sleep(0.0 if pump is not None else 0.005)
                 continue
 
+            t_ph = time.time()
             image, depth, T_gt, grad_mask = self._load_frame(cur_frame_idx)
+            if self.timers is not None:
+                self.timers.total["load_frame"] += time.time() - t_ph
+                self.timers.count["load_frame"] += 1
 
             if self.reset:
                 self.initialize(cur_frame_idx, image, depth, T_gt, grad_mask)
@@ -406,7 +415,13 @@ class FrontEnd:
                 len(self.current_window) == self.window_size
             )
 
+            t_ph = time.time()
             track = self.tracking(cur_frame_idx, image, depth, grad_mask)
+            if self.timers is not None:
+                self.timers.total["tracking"] += time.time() - t_ph
+                self.timers.count["tracking"] += 1
+                self.timers.total["tracking_iters"] += int(track.n_iters)
+                self.timers.count["tracking_iters"] += 1
             if self.metrics is not None:
                 self.metrics.log(
                     {
@@ -494,6 +509,7 @@ class FrontEnd:
                         f"raster tile-list overflow: {overflow} entries "
                         f"dropped (raise TPU.max_per_tile)", tag="MonoGS-TPU",
                     )
+                t_ph = time.time()
                 depth_map = self.make_keyframe_depth(image, depth, track)
                 kf = Keyframe(
                     idx=cur_frame_idx,
@@ -514,6 +530,9 @@ class FrontEnd:
                 self._send(
                     ["keyframe", cur_frame_idx, kf, list(self.current_window), depth_map]
                 )
+                if self.timers is not None:
+                    self.timers.total["keyframe"] += time.time() - t_ph
+                    self.timers.count["keyframe"] += 1
             cur_frame_idx += 1
 
             if (

@@ -113,6 +113,7 @@ class SLAM:
             },
         )
         self.frontend.metrics = self.metrics
+        self.frontend.timers = self.timers
 
     def prewarm(self) -> None:
         """Compile every device-program variant the SLAM run will dispatch,
