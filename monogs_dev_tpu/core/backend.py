@@ -112,6 +112,7 @@ class BackendEngine:
         self.idle_every = int(tpu_grp.get("idle_every", 1))  # frames/round
 
         self.rng = jax.random.PRNGKey(seed)
+        self.np_rng = np.random.default_rng(seed)
         self.reset()
 
     # ------------------------------------------------------------------ state
@@ -196,11 +197,12 @@ class BackendEngine:
         others = [i for i in self.viewpoints if i not in set(window)]
         rand: List[int] = []
         if others:
-            k = self._split_rng()
-            picks = jax.random.choice(
-                k, jnp.array(others), shape=(min(2, len(others)),), replace=False
+            # host-side numpy draw: a jax.random.choice over jnp.array(others)
+            # recompiles (convert/shuffle/slice) at every new keyframe count
+            picks = self.np_rng.choice(
+                np.array(others), size=min(2, len(others)), replace=False
             )
-            rand = [int(i) for i in np.asarray(picks)]
+            rand = [int(i) for i in picks]
         slot_ids = window + rand
         h, w = self.intr.height, self.intr.width
 

@@ -320,10 +320,34 @@ class FrontEnd:
                 self.raster_cfg,
                 use_depth=self.use_depth and depth is not None,
             )
+            # fetch ONLY the small fields (pose, exposure, scalars,
+            # n_touched) in one batched device_get; the full-res
+            # color/depth/opacity renders stay on device — their only
+            # consumers (pseudo-depth synthesis, viz snapshots) want device
+            # arrays, and pulling them cost ~85 ms/frame over the transport
+            small = jax.device_get(
+                (
+                    result.T_w2c,
+                    result.exposure_ab,
+                    result.n_iters,
+                    result.converged,
+                    result.n_touched,
+                    result.median_depth,
+                    result.dup_overflow,
+                    result.tile_overflow,
+                )
+            )
+            result = result._replace(
+                T_w2c=small[0],
+                exposure_ab=small[1],
+                n_iters=small[2],
+                converged=small[3],
+                n_touched=small[4],
+                median_depth=small[5],
+                dup_overflow=small[6],
+                tile_overflow=small[7],
+            )
             self.median_depth = float(result.median_depth)
-            # fetch the whole result inside the lock: every later
-            # np.asarray on a device array would be its own transfer RPC
-            result = jax.tree.map(np.asarray, result)
         if not np.isfinite(self.median_depth):
             self.median_depth = 4.0
         return result
