@@ -361,6 +361,7 @@ class FrontEnd:
                     jnp.asarray(track.depth),
                     jnp.asarray(track.opacity),
                     image,
+                    jnp.asarray(self.median_depth, jnp.float32),
                     self.cfg.rgb_boundary_threshold,
                 )
             else:

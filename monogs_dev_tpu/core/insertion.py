@@ -124,21 +124,35 @@ def pseudo_depth_map(
     render_depth: jnp.ndarray,  # (H, W) rendered depth at the new keyframe
     render_opacity: jnp.ndarray,  # (H, W)
     gt_image: jnp.ndarray,  # (H, W, 3)
+    fallback_depth: jnp.ndarray = 2.0,  # () scalar; see below
     rgb_boundary_threshold: float = 0.01,
 ) -> jnp.ndarray:
-    """Monocular keyframe pseudo-depth (slam_frontend.py:63-104).
+    """Monocular keyframe pseudo-depth (slam_frontend.py:57-108).
 
     Outlier depths (|d - median| > std, or invalid) are replaced with the
     median; noise sigma is 0.5*std there and 0.2*std elsewhere; invalid-RGB
     pixels are zeroed.
+
+    When NO pixel is valid (opacity never reaches 0.95 — happens right
+    after a monocular bootstrap reset, when the fresh map is fit to one
+    keyframe only), the median/std of the empty set are NaN and would
+    poison the depth map and every Gaussian inserted from it; fall back to
+    a noisy constant sheet at `fallback_depth` (the frontend's running
+    median depth), matching the reference's no-estimate fallback
+    (gaussian_model.py:121-126).
     """
     valid_rgb = gt_image.sum(axis=-1) > rgb_boundary_threshold
     valid = (render_depth > 0.0) & (render_opacity > 0.95) & valid_rgb
+    have = valid.sum() > 0
     masked = jnp.where(valid, render_depth, jnp.nan)
-    median = jnp.nanmedian(masked)
+    median = jnp.where(have, jnp.nanmedian(masked), fallback_depth)
     n = jnp.maximum(valid.sum(), 1)
     mean = jnp.where(valid, render_depth, 0.0).sum() / n
-    std = jnp.sqrt((jnp.where(valid, render_depth - mean, 0.0) ** 2).sum() / n)
+    std = jnp.where(
+        have,
+        jnp.sqrt((jnp.where(valid, render_depth - mean, 0.0) ** 2).sum() / n),
+        0.05 * fallback_depth,
+    )
 
     invalid = (
         (render_depth > median + std) | (render_depth < median - std) | ~valid
@@ -148,6 +162,7 @@ def pseudo_depth_map(
         invalid, std * 0.5, std * 0.2
     )
     depth = depth + noise
+    depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
     return jnp.where(valid_rgb, depth, 0.0)
 
 

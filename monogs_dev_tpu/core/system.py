@@ -247,6 +247,7 @@ class SLAM:
                 )
                 jax.block_until_ready(
                     pseudo_depth_map(rng, depth, jnp.ones((h, w)), image,
+                                     jnp.asarray(4.0, jnp.float32),
                                      cfg.rgb_boundary_threshold)
                 )
         Log(f"prewarm: all program variants compiled in {time.time() - t_start:.1f}s")

@@ -42,7 +42,8 @@ def timed(name, fn, *a, **kw):
 
 timed("grad_mask", compute_grad_mask, img, 1.1, False)
 timed("bootstrap_depth", mono_bootstrap_depth, key, H, W, True)
-timed("pseudo_depth", pseudo_depth_map, key, dep, dep, img, 0.01)
+timed("pseudo_depth", pseudo_depth_map, key, dep, dep, img,
+      jnp.asarray(4.0), 0.01)
 timed("insertion", new_points_from_frame, key, img, dep, jnp.zeros(2),
       jnp.eye(4), intr, 0, 65536, 16, 0.01, True)
 timed("track(pyr1,mono)", track_frame, gmap.params, gmap.aux.active,
