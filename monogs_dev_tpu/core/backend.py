@@ -113,6 +113,11 @@ class BackendEngine:
 
         self.rng = jax.random.PRNGKey(seed)
         self.np_rng = np.random.default_rng(seed)
+        # adaptive chunk: shrinks while measured binning drift approaches
+        # the dilation margin (fast map/pose motion, e.g. during init BA),
+        # regrows toward map_chunk when drift is small — keeps gradients
+        # exact near tile borders without paying per-iteration rebinning
+        self._adaptive_chunk = self.map_chunk
         self.reset()
 
     # ------------------------------------------------------------------ state
@@ -302,7 +307,7 @@ class BackendEngine:
         last_batch = None
         slot_ids: list[int] = []
         while remaining > 0:
-            chunk = min(self.map_chunk, remaining)
+            chunk = min(self._adaptive_chunk, remaining)
             # the device program reuses per-slot binnings for a whole chunk;
             # end the chunk exactly ON the next densify/opacity-reset event
             # so a topology change never renders against a stale binning
@@ -362,6 +367,20 @@ class BackendEngine:
                             "(gradients near tile borders truncated; lower "
                             "TPU.map_chunk or raise the dilation)",
                             tag="MonoGS-TPU",
+                        )
+                # feedback control on the chunk length: the per-px-of-drift
+                # cost is silent gradient truncation, so track the dilation
+                # margin at ~60% utilization
+                dil = self.cfg.mapping_rebin_dilation
+                if not densified and chunk > 1:
+                    if drift > 0.8 * dil:
+                        self._adaptive_chunk = max(2, chunk // 2)
+                    elif (
+                        drift < 0.3 * dil
+                        and self._adaptive_chunk < self.map_chunk
+                    ):
+                        self._adaptive_chunk = min(
+                            self.map_chunk, self._adaptive_chunk + 2
                         )
                 self._writeback(out.batch, slot_ids)
                 jax.block_until_ready(self.gmap.params.xyz)

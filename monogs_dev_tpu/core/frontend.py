@@ -35,6 +35,16 @@ from .params import StepConfig
 from .tracking import TrackResult, track_frame
 
 
+@jax.jit
+def _high_water(active: jnp.ndarray) -> jnp.ndarray:
+    """1 + highest active row index (0 when empty) — the prefix bound used
+    to pick a tracking capacity tier."""
+    n = active.shape[0]
+    return jnp.max(
+        jnp.where(active, jnp.arange(n, dtype=jnp.int32) + 1, 0)
+    )
+
+
 @dataclasses.dataclass
 class FrameInfo:
     """Host-side per-frame record (for eval and keyframe policy)."""
@@ -189,6 +199,17 @@ class FrontEnd:
         # frontend's render snapshot of the map (synced from backend)
         self.snapshot = (engine.gmap.params, engine.gmap.aux.active)
         self.ate_log: List[dict] = []
+        # Capacity tiers for the tracking program: every per-iteration cost
+        # in the loop (projection rows, binning sort keys, gather tables)
+        # scales with the STATIC capacity, while the alive count is far
+        # smaller for most of a run. Tracking is read-only over the map, and
+        # `insert_points` always fills the lowest free slots, so active rows
+        # stay within a low prefix; tracking runs on the smallest tier
+        # prefix that covers the snapshot's high-water mark. Two tiers keep
+        # it to two compiled tracking programs.
+        cap = engine.capacity
+        self.track_tiers = sorted({min(cap, max(4096, cap // 4)), cap})
+        self._snapshot_hw: Optional[int] = None  # recomputed lazily per sync
 
     # ----------------------------------------------------------------- comms
 
@@ -211,6 +232,7 @@ class FrontEnd:
     def _sync_direct(self, tag: str) -> None:
         e = self.engine
         self.snapshot = (e.gmap.params, e.gmap.aux.active)
+        self._snapshot_hw = None
         self.occ_aware_visibility = {
             k: np.asarray(v) for k, v in e.occ_aware_visibility.items()
         }
@@ -233,6 +255,7 @@ class FrontEnd:
                 return
             tag, snapshot, visibility, keyframes = data
             self.snapshot = snapshot
+            self._snapshot_hw = None
             self.occ_aware_visibility = {
                 k: np.asarray(v) for k, v in visibility.items()
             }
@@ -296,6 +319,15 @@ class FrontEnd:
         self._send(["init", cur_frame_idx, kf, depth_map])
         self.reset = False
 
+    def _tracking_tier(self, active) -> int:
+        """Smallest capacity tier covering the snapshot's active prefix."""
+        if self._snapshot_hw is None:
+            self._snapshot_hw = int(jax.device_get(_high_water(active)))
+        for t in self.track_tiers:
+            if t >= self._snapshot_hw:
+                return t
+        return self.track_tiers[-1]
+
     def tracking(self, cur_frame_idx: int, image, depth, grad_mask) -> TrackResult:
         prev = self.cameras[cur_frame_idx - 1]
         T_init = prev.T_est
@@ -304,6 +336,10 @@ class FrontEnd:
             T_init = prev.T_est @ np.linalg.inv(prev2.T_est) @ prev.T_est
         params, active = self.snapshot
         with DEVICE_LOCK:
+            tier = self._tracking_tier(active)
+            if tier < active.shape[0]:
+                params = jax.tree.map(lambda x: x[:tier], params)
+                active = active[:tier]
             result = track_frame(
                 params,
                 active,
@@ -337,12 +373,18 @@ class FrontEnd:
                     result.tile_overflow,
                 )
             )
+            n_touched = small[4]
+            cap = self.engine.capacity
+            if n_touched.shape[0] < cap:
+                # tier-sliced program: visibility vectors from the backend
+                # harvest are capacity-sized
+                n_touched = np.pad(n_touched, (0, cap - n_touched.shape[0]))
             result = result._replace(
                 T_w2c=small[0],
                 exposure_ab=small[1],
                 n_iters=small[2],
                 converged=small[3],
-                n_touched=small[4],
+                n_touched=n_touched,
                 median_depth=small[5],
                 dup_overflow=small[6],
                 tile_overflow=small[7],

@@ -171,14 +171,21 @@ class SLAM:
                 )
                 gmap, _ = insert_points(gmap, new_params, valid, 0)
 
-            # tracking program (grad mask computed in-program)
-            track = track_frame(
-                gmap.params, gmap.aux.active, jnp.eye(4), jnp.zeros(2),
-                image, depth, None, jnp.zeros(3), cfg, intr, rcfg,
-                use_depth=not cfg.monocular,
-            )
-            jax.block_until_ready(track.T_w2c)
-            Log(f"prewarm: tracking compiled ({time.time() - t_start:.1f}s)")
+            # tracking program (grad mask computed in-program), one compile
+            # per capacity tier the frontend can dispatch
+            for tier in self.frontend.track_tiers:
+                p_t = jax.tree.map(lambda x: x[:tier], gmap.params)
+                a_t = gmap.aux.active[:tier]
+                track = track_frame(
+                    p_t, a_t, jnp.eye(4), jnp.zeros(2),
+                    image, depth, None, jnp.zeros(3), cfg, intr, rcfg,
+                    use_depth=not cfg.monocular,
+                )
+                jax.block_until_ready(track.T_w2c)
+                Log(
+                    f"prewarm: tracking tier {tier} compiled "
+                    f"({time.time() - t_start:.1f}s)"
+                )
 
             # mapping program variants
             def dummy_batch(b):

@@ -156,11 +156,22 @@ def build_binning(
         tid = jnp.where(q_min <= q_thresh + slack, tid, n_tiles)
     nk = n * config.k_dup
 
-    # stable sort entries by tile id; payload = entry id
+    # stable sort entries by tile id; payload = entry id. When
+    # bits(tile) + bits(entry) fit an int32, pack both into ONE key
+    # (tid in the high bits, eid in the low bits): a single-array sort is
+    # ~2x the throughput of the two-array variant on TPU, and stability
+    # w.r.t. eid is implied by eid being strictly increasing.
     eid = jnp.arange(nk, dtype=jnp.int32)
-    sorted_tid, sorted_eid = jax.lax.sort(
-        (tid.reshape(-1), eid), num_keys=1, is_stable=True
-    )
+    eid_bits = max((nk - 1).bit_length(), 1)
+    tid_bits = (n_tiles).bit_length()  # sentinel value n_tiles included
+    if eid_bits + tid_bits <= 31:
+        packed = jnp.sort((tid.reshape(-1) << eid_bits) | eid)
+        sorted_tid = packed >> eid_bits
+        sorted_eid = packed & ((1 << eid_bits) - 1)
+    else:
+        sorted_tid, sorted_eid = jax.lax.sort(
+            (tid.reshape(-1), eid), num_keys=1, is_stable=True
+        )
     # per-tile segments
     starts = jnp.searchsorted(
         sorted_tid, jnp.arange(n_tiles + 1, dtype=jnp.int32)

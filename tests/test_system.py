@@ -49,6 +49,26 @@ class TestSingleThreadE2E:
         slam.stop()
 
 
+class TestTrackingCapacityTiers:
+    def test_small_tier_used_and_padded(self):
+        # capacity 8192 -> tiers [4096, 8192]; the tiny scene stays far
+        # below 4096 alive, so tracking must run on the small tier while
+        # n_touched / keyframe policy still see capacity-sized vectors
+        cfg = tiny_config(**{"TPU.capacity": 8192})
+        slam = SLAM(cfg, save_dir=None)
+        fe = slam.frontend
+        assert fe.track_tiers == [4096, 8192]
+        slam.run(max_frames=8)
+        # _snapshot_hw is lazily recomputed per tracking call (and
+        # invalidated by every backend sync); force one resolution here
+        assert fe._tracking_tier(fe.snapshot[1]) == 4096
+        assert fe._snapshot_hw is not None and fe._snapshot_hw <= 4096
+        assert len(fe.kf_indices) >= 1
+        for cam in fe.cameras.values():
+            assert np.all(np.isfinite(cam.T_est))
+        slam.stop()
+
+
 class TestThreadedMode:
     def test_frontend_backend_threads(self):
         cfg = tiny_config()
