@@ -45,6 +45,16 @@ from .params import MapOptConfig, StepConfig
 CAMERAS_EXTENT = 6.0  # reference slam.py:86 (backend.cameras_extent = 6.0)
 
 
+@jax.jit
+def _set_batch_slot(images, depths, image, depth, s):
+    """Overwrite one keyframe slot of the cached (B,H,W,·) batch stacks in
+    ONE device program (dynamic slot index -> a single compiled variant)."""
+    return (
+        jax.lax.dynamic_update_index_in_dim(images, image, s, 0),
+        jax.lax.dynamic_update_index_in_dim(depths, depth, s, 0),
+    )
+
+
 def _next_pow2(x: int) -> int:
     p = 1
     while p < x:
@@ -126,12 +136,19 @@ class BackendEngine:
         """Full map reset (slam_backend.py:72-84)."""
         self.gmap: GaussianMap = create_map(self.capacity, self.cfg.sh_degree)
         self.iteration_count = 0
+        # start cautious after every reset: the first init-BA iterations
+        # move means tens of pixels per chunk (drift telemetry), so long
+        # binning-reuse chunks silently truncate gradients exactly when map
+        # quality matters most; the controller regrows the chunk once drift
+        # calms down
+        self._adaptive_chunk = min(4, int(getattr(self, "map_chunk", 4)))
         self.viewpoints: Dict[int, Keyframe] = {}
         self.current_window: List[int] = []
         self.occ_aware_visibility: Dict[int, jnp.ndarray] = {}
         self.initialized = not self.cfg.monocular
         self.kf_state: Optional[KeyframeOptState] = None
         self._batch_cache = None  # (images, depths, slot kf ids) device stacks
+        self._zero_depth = None  # cached device zeros for mono slots
         self.telemetry = {
             "insert_dropped": 0,
             "densify_dropped": 0,
@@ -219,24 +236,32 @@ class BackendEngine:
             depths = jnp.zeros((b, h, w))
             cached_ids = [None] * b
 
-        T = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
-        exposure = jnp.zeros((b, 2))
+        # poses/exposures/flags are host numpy: the jitted mapping program
+        # transfers them once at dispatch (eager .at[].set ops cost one
+        # transport roundtrip each on the remote-relay device)
+        T = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+        exposure = np.zeros((b, 2), np.float32)
         valid = np.zeros(b, bool)
         opt_pose = np.zeros(b, bool)
         opt_exp = np.zeros(b, bool)
         harvest = np.zeros(b, bool)
 
+        if self._zero_depth is None:
+            self._zero_depth = jnp.zeros((h, w))
         new_ids: list = [None] * b
         for s, kf_idx in enumerate(slot_ids):
             kf = self.viewpoints[kf_idx]
             new_ids[s] = kf_idx
             if cached_ids[s] != kf_idx:
-                images = images.at[s].set(kf.image)
-                depths = depths.at[s].set(
-                    kf.depth if kf.depth is not None else jnp.zeros((h, w))
+                images, depths = _set_batch_slot(
+                    images,
+                    depths,
+                    kf.image,
+                    kf.depth if kf.depth is not None else self._zero_depth,
+                    np.int32(s),
                 )
-            T = T.at[s].set(kf.T_w2c)
-            exposure = exposure.at[s].set(kf.exposure)
+            T[s] = kf.T_w2c
+            exposure[s] = kf.exposure
             valid[s] = True
             in_window = s < len(window)
             harvest[s] = in_window
@@ -251,21 +276,19 @@ class BackendEngine:
             depths=depths,
             T_w2c=T,
             exposure=exposure,
-            valid=jnp.array(valid),
-            optimize_pose=jnp.array(opt_pose),
-            optimize_exposure=jnp.array(opt_exp),
-            apply_exposure=jnp.array(
-                np.full(b, apply_exposure) & valid
-            ),
-            harvest_visibility=jnp.array(harvest),
+            valid=valid,
+            optimize_pose=opt_pose,
+            optimize_exposure=opt_exp,
+            apply_exposure=np.full(b, apply_exposure) & valid,
+            harvest_visibility=harvest,
         )
         return batch, slot_ids
 
-    def _writeback(self, batch: KeyframeBatch, slot_ids: list[int]) -> None:
+    def _writeback_np(self, T_np: np.ndarray, exp_np: np.ndarray, slot_ids: list[int]) -> None:
         for s, kf_idx in enumerate(slot_ids):
             kf = self.viewpoints[kf_idx]
-            kf.T_w2c = batch.T_w2c[s]
-            kf.exposure = batch.exposure[s]
+            kf.T_w2c = T_np[s]
+            kf.exposure = exp_np[s]
 
     # ---------------------------------------------------------------- mapping
 
@@ -349,7 +372,14 @@ class BackendEngine:
                 self.gmap = out.gmap
                 self.kf_state = out.kf_state
                 self.iteration_count += chunk
-                self.telemetry["densify_dropped"] += int(out.n_dropped)
+                # ONE batched device_get per chunk: telemetry scalars +
+                # optimized poses/exposures (each eager fetch is a full
+                # transport roundtrip on the remote-relay device)
+                n_dropped, drift_dev, T_np, exp_np = jax.device_get(
+                    (out.n_dropped, out.max_drift, out.batch.T_w2c,
+                     out.batch.exposure)
+                )
+                self.telemetry["densify_dropped"] += int(n_dropped)
                 # drift telemetry is meaningless on chunks whose final
                 # iteration densified: split children land in slots that were
                 # active at binning time, reading as huge fake "drift"
@@ -357,7 +387,7 @@ class BackendEngine:
                 densified = (it_end % update_every) == update_offset or (
                     init_mode and it_end == reset_interval
                 )
-                drift = 0.0 if densified else float(out.max_drift)
+                drift = 0.0 if densified else float(drift_dev)
                 if drift > self.telemetry["max_binning_drift"]:
                     self.telemetry["max_binning_drift"] = drift
                     if drift > self.cfg.mapping_rebin_dilation:
@@ -382,8 +412,7 @@ class BackendEngine:
                         self._adaptive_chunk = min(
                             self.map_chunk, self._adaptive_chunk + 2
                         )
-                self._writeback(out.batch, slot_ids)
-                jax.block_until_ready(self.gmap.params.xyz)
+                self._writeback_np(T_np, exp_np, slot_ids)
             last_batch = out.batch
             remaining -= chunk
 
@@ -432,12 +461,12 @@ class BackendEngine:
     def _visibility_prune(self) -> None:
         b = self.cfg.window_slots
         n = self.capacity
-        vis = jnp.zeros((b, n), bool)
+        vis = np.zeros((b, n), bool)
         valid = np.zeros(b, bool)
-        kf_ids = np.full(b, -1, np.int64)
+        kf_ids = np.full(b, -1, np.int32)
         for s, kf_idx in enumerate(self.current_window[:b]):
             if kf_idx in self.occ_aware_visibility:
-                vis = vis.at[s].set(self.occ_aware_visibility[kf_idx])
+                vis[s] = np.asarray(self.occ_aware_visibility[kf_idx])
                 valid[s] = True
                 kf_ids[s] = kf_idx
         sorted_window = sorted(self.current_window, reverse=True)
@@ -446,18 +475,24 @@ class BackendEngine:
         self.gmap = visibility_prune(
             self.gmap,
             vis,
-            jnp.array(valid),
-            jnp.array(kf_ids, jnp.int32),
-            jnp.asarray(third_newest, jnp.int32),
-            jnp.asarray(self.initialized),
+            valid,
+            kf_ids,
+            np.int32(third_newest),
+            np.asarray(self.initialized),
             self.prune_mode,
             self.cfg.monocular,
         )
         if self.cfg.monocular:
             # keep visibility vectors consistent with the pruned map
-            kept = self.gmap.aux.active | ~prev_active
+            # (one batched d2h fetch, then host numpy)
+            active_np, prev_np = jax.device_get(
+                (self.gmap.aux.active, prev_active)
+            )
+            kept = active_np | ~prev_np
             for k in list(self.occ_aware_visibility):
-                self.occ_aware_visibility[k] = self.occ_aware_visibility[k] & kept
+                self.occ_aware_visibility[k] = (
+                    np.asarray(self.occ_aware_visibility[k]) & kept
+                )
 
     # ------------------------------------------------------------- commands
 

@@ -16,6 +16,7 @@ Two execution modes mirror the reference's process topology (SURVEY.md §2
 from __future__ import annotations
 
 import dataclasses
+import functools
 import queue
 import time
 from typing import Dict, List, Optional, Tuple
@@ -43,6 +44,21 @@ def _high_water(active: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(
         jnp.where(active, jnp.arange(n, dtype=jnp.int32) + 1, 0)
     )
+
+
+@jax.jit
+def _valid_rgb_depth(image, depth, threshold):
+    """RGB-D keyframe depth: observed depth masked to valid-RGB pixels
+    (slam_frontend.py:103-107) — one program instead of eager ops."""
+    return jnp.where(image.sum(axis=-1) > threshold, depth, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("tier",))
+def _slice_tier(params, active, tier: int):
+    """Prefix-slice the map snapshot to a capacity tier in ONE device
+    program. Eager per-leaf slicing costs one transport roundtrip per leaf
+    on the remote-relay device (~180 ms for the 6-leaf param set)."""
+    return jax.tree.map(lambda x: x[:tier], params), active[:tier]
 
 
 @dataclasses.dataclass
@@ -193,6 +209,7 @@ class FrontEnd:
         self.requested_init = False
         self.requested_keyframe = 0
         self.median_depth = 4.0
+        self.anchor_idx = 0  # last bootstrap/reset frame
         self.cur_frame_idx = 0  # persistent: run() is resumable
         self.metrics = None  # optional MetricsLogger injected by SLAM
         self.timers = None  # optional PhaseTimers injected by SLAM
@@ -210,6 +227,12 @@ class FrontEnd:
         cap = engine.capacity
         self.track_tiers = sorted({min(cap, max(4096, cap // 4)), cap})
         self._snapshot_hw: Optional[int] = None  # recomputed lazily per sync
+        self._sliced_snapshot = None  # (tier, params, active) cache per sync
+        # one-frame-ahead h2d prefetch: the upload of frame i+1 overlaps
+        # frame i's tracking program (a synchronous VGA upload costs
+        # ~150-200 ms on the remote-relay transport)
+        self._prefetch: dict = {}
+        self._zero_depth = None  # cached device zeros for monocular depth
 
     # ----------------------------------------------------------------- comms
 
@@ -233,6 +256,7 @@ class FrontEnd:
         e = self.engine
         self.snapshot = (e.gmap.params, e.gmap.aux.active)
         self._snapshot_hw = None
+        self._sliced_snapshot = None
         self.occ_aware_visibility = {
             k: np.asarray(v) for k, v in e.occ_aware_visibility.items()
         }
@@ -256,6 +280,7 @@ class FrontEnd:
             tag, snapshot, visibility, keyframes = data
             self.snapshot = snapshot
             self._snapshot_hw = None
+            self._sliced_snapshot = None
             self.occ_aware_visibility = {
                 k: np.asarray(v) for k, v in visibility.items()
             }
@@ -277,10 +302,24 @@ class FrontEnd:
         return k
 
     def _load_frame(self, idx: int):
-        """Host-side only: the edge mask is computed inside the tracking
-        program (grad_mask=None), and jit handles the h2d transfers."""
+        """The edge mask is computed inside the tracking program
+        (grad_mask=None). Image/depth come back as device arrays: either
+        the async h2d started by `_prefetch_frame` during the previous
+        frame's tracking, or a fresh (async) device_put."""
+        hit = self._prefetch.pop(idx, None)
+        if hit is not None:
+            return hit
+        return self._fetch_frame(idx)
+
+    def _fetch_frame(self, idx: int):
         image_np, depth_np, T_gt = self.dataset[idx]
-        return image_np, depth_np, np.asarray(T_gt), None
+        image = jax.device_put(image_np)  # async; overlaps host work
+        depth = jax.device_put(depth_np) if depth_np is not None else None
+        return image, depth, np.asarray(T_gt), None
+
+    def _prefetch_frame(self, idx: int) -> None:
+        if idx not in self._prefetch and idx < len(self.dataset):
+            self._prefetch = {idx: self._fetch_frame(idx)}
 
     def initialize(self, cur_frame_idx: int, image, depth, T_gt, grad_mask) -> None:
         """Bootstrap / reset (slam_frontend.py:110-126)."""
@@ -288,6 +327,7 @@ class FrontEnd:
         self.kf_indices = []
         self.current_window = [cur_frame_idx]
         self.occ_aware_visibility = {}
+        self.anchor_idx = cur_frame_idx
 
         T0 = jnp.asarray(T_gt, jnp.float32)  # GT anchor for frame 0
         kf = Keyframe(
@@ -311,9 +351,9 @@ class FrontEnd:
                     init=True,
                 )
             else:
-                valid_rgb = image.sum(-1) > self.cfg.rgb_boundary_threshold
-                depth_map = jnp.where(valid_rgb, depth, 0.0)
-            jax.block_until_ready(depth_map)
+                depth_map = _valid_rgb_depth(
+                    image, depth, self.cfg.rgb_boundary_threshold
+                )
 
         self.requested_init = True
         self._send(["init", cur_frame_idx, kf, depth_map])
@@ -331,33 +371,51 @@ class FrontEnd:
     def tracking(self, cur_frame_idx: int, image, depth, grad_mask) -> TrackResult:
         prev = self.cameras[cur_frame_idx - 1]
         T_init = prev.T_est
-        if self.const_velocity and (cur_frame_idx - 2) in self.cameras:
+        # const-velocity extrapolation must not reach across a reset
+        # boundary: pre-reset estimates were tracked against the discarded
+        # map, so a velocity formed from (anchor_gt, drifted_prev) throws
+        # the first post-reset frames far off and re-triggers the reset
+        if (
+            self.const_velocity
+            and (cur_frame_idx - 2) in self.cameras
+            and (cur_frame_idx - 2) >= self.anchor_idx
+        ):
             prev2 = self.cameras[cur_frame_idx - 2]
             T_init = prev.T_est @ np.linalg.inv(prev2.T_est) @ prev.T_est
-        params, active = self.snapshot
         with DEVICE_LOCK:
-            tier = self._tracking_tier(active)
-            if tier < active.shape[0]:
-                params = jax.tree.map(lambda x: x[:tier], params)
-                active = active[:tier]
+            tier = self._tracking_tier(self.snapshot[1])
+            if self._sliced_snapshot is None or self._sliced_snapshot[0] != tier:
+                params, active = self.snapshot
+                if tier < active.shape[0]:
+                    params, active = _slice_tier(params, active, tier)
+                self._sliced_snapshot = (tier, params, active)
+            _, params, active = self._sliced_snapshot
+            use_depth = self.use_depth and depth is not None
+            if not use_depth:
+                if self._zero_depth is None:
+                    self._zero_depth = jnp.zeros(
+                        (self.intr.height, self.intr.width), jnp.float32
+                    )
+                depth = self._zero_depth
             result = track_frame(
                 params,
                 active,
-                jnp.asarray(T_init, jnp.float32),
-                jnp.zeros(2),
-                jnp.asarray(image),
-                jnp.asarray(depth)
-                if (self.use_depth and depth is not None)
-                else jnp.zeros(image.shape[:2], jnp.float32),
+                np.asarray(T_init, np.float32),
+                np.zeros(2, np.float32),
+                image,
+                depth,
                 grad_mask,
                 self.bg_color,
                 self.cfg,
                 self.intr,
                 self.raster_cfg,
-                use_depth=self.use_depth and depth is not None,
+                use_depth=use_depth,
             )
-            # fetch ONLY the small fields (pose, exposure, scalars,
-            # n_touched) in one batched device_get; the full-res
+            # while the device runs the tracking program, pull the next
+            # frame from the dataset and start its h2d upload
+            self._prefetch_frame(cur_frame_idx + 1)
+            # fetch ONLY the small fields (pose, exposure, scalars, touched
+            # bools) in one batched device_get; the full-res
             # color/depth/opacity renders stay on device — their only
             # consumers (pseudo-depth synthesis, viz snapshots) want device
             # arrays, and pulling them cost ~85 ms/frame over the transport
@@ -367,24 +425,24 @@ class FrontEnd:
                     result.exposure_ab,
                     result.n_iters,
                     result.converged,
-                    result.n_touched,
+                    result.touched,
                     result.median_depth,
                     result.dup_overflow,
                     result.tile_overflow,
                 )
             )
-            n_touched = small[4]
+            touched = small[4]
             cap = self.engine.capacity
-            if n_touched.shape[0] < cap:
+            if touched.shape[0] < cap:
                 # tier-sliced program: visibility vectors from the backend
                 # harvest are capacity-sized
-                n_touched = np.pad(n_touched, (0, cap - n_touched.shape[0]))
+                touched = np.pad(touched, (0, cap - touched.shape[0]))
             result = result._replace(
                 T_w2c=small[0],
                 exposure_ab=small[1],
                 n_iters=small[2],
                 converged=small[3],
-                n_touched=n_touched,
+                touched=touched,
                 median_depth=small[5],
                 dup_overflow=small[6],
                 tile_overflow=small[7],
@@ -407,9 +465,9 @@ class FrontEnd:
                     self.cfg.rgb_boundary_threshold,
                 )
             else:
-                valid_rgb = image.sum(axis=-1) > self.cfg.rgb_boundary_threshold
-                out = jnp.where(valid_rgb, depth, 0.0)
-            jax.block_until_ready(out)
+                out = _valid_rgb_depth(
+                    image, depth, self.cfg.rgb_boundary_threshold
+                )
         return out
 
     # ------------------------------------------------------------------- run
@@ -527,7 +585,7 @@ class FrontEnd:
 
             last_keyframe_idx = self.current_window[0]
             check_time = (cur_frame_idx - last_keyframe_idx) >= self.kf_interval
-            cur_vis = np.asarray(track.n_touched) > 0
+            cur_vis = np.asarray(track.touched)
             create_kf = is_keyframe_check(
                 np.asarray(track.T_w2c),
                 self.cameras[last_keyframe_idx].T_est,
@@ -565,9 +623,22 @@ class FrontEnd:
                 )
                 if self.monocular and not self.initialized and removed is not None:
                     self.reset = True
+                    n_cur = int(np.count_nonzero(cur_vis))
+                    details = []
+                    for kf_idx in self.current_window[1:]:
+                        vis = self.occ_aware_visibility.get(kf_idx)
+                        if vis is None:
+                            details.append(f"kf{kf_idx}:none")
+                            continue
+                        inter = int(np.count_nonzero(cur_vis & vis))
+                        denom = max(min(n_cur, int(np.count_nonzero(vis))), 1)
+                        details.append(
+                            f"kf{kf_idx}:{inter}/{denom}={inter / denom:.2f}"
+                        )
                     Log(
                         "Keyframes lacks sufficient overlap to initialize the "
-                        "map, resetting."
+                        f"map, resetting. (evicted {removed}; |cur_vis|={n_cur}; "
+                        f"overlaps {' '.join(details)})"
                     )
                     continue
                 overflow = int(track.tile_overflow)

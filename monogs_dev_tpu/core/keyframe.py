@@ -14,14 +14,16 @@ class Keyframe:
     """One keyframe: device-resident images + current pose estimate.
 
     `image`/`depth` live on device (they are re-rendered every mapping
-    iteration); poses/exposure are small device arrays updated by the
-    mapping program.
+    iteration); poses/exposure are HOST numpy — they feed device programs
+    as dispatch-time args and every host consumer (keyframe policy, eval,
+    sync) reads them, so keeping a device copy would cost one transport
+    roundtrip per access on the remote-relay device.
     """
 
     idx: int
     image: jnp.ndarray  # (H, W, 3) device
     depth: Optional[jnp.ndarray]  # (H, W) sensor depth for the loss; None if mono
-    T_w2c: jnp.ndarray  # (4, 4) current estimate (device)
-    exposure: jnp.ndarray  # (2,)
+    T_w2c: np.ndarray  # (4, 4) current estimate (host)
+    exposure: np.ndarray  # (2,) host
     T_gt: np.ndarray  # (4, 4) host, for eval only
     grad_mask: Optional[jnp.ndarray] = None

@@ -43,7 +43,8 @@ class TrackResult(NamedTuple):
     color: jnp.ndarray  # (H, W, 3) render at final pose
     depth: jnp.ndarray  # (H, W)
     opacity: jnp.ndarray  # (H, W)
-    n_touched: jnp.ndarray  # (N,) int32
+    touched: jnp.ndarray  # (N,) bool — n_touched > 0 (the only consumer;
+    # bool quarters the d2h transfer on the remote-relay transport)
     median_depth: jnp.ndarray  # ()
     dup_overflow: jnp.ndarray  # () binning telemetry from the final render
     tile_overflow: jnp.ndarray  # ()
@@ -283,7 +284,7 @@ def track_frame(
         color=out.color,
         depth=out.depth,
         opacity=out.alpha,
-        n_touched=out.n_touched,
+        touched=out.n_touched > 0,
         median_depth=med,
         dup_overflow=out.dup_overflow,
         tile_overflow=out.tile_overflow,

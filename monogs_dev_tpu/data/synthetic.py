@@ -111,12 +111,26 @@ def make_surface_scene(
     return params, jnp.ones((n,), bool)
 
 
-def orbit_pose(i: int, n_frames: int, radius: float = 0.5, sweep: float = 1.2):
+def orbit_pose(
+    i: int,
+    n_frames: int,
+    radius: float = 0.5,
+    sweep: float = 1.2,
+    ease: bool = False,
+):
     """Smooth lateral arc with yaw + slight push-in, looking down +z (W2C).
 
     The sweep is sized so consecutive keyframe-interval frames lose enough
-    covisibility to exercise the keyframe policy with TUM-like thresholds."""
+    covisibility to exercise the keyframe policy with TUM-like thresholds.
+
+    ease=True applies a smoothstep time warp (zero velocity at both ends):
+    real handheld sequences (TUM fr3_office) start near-static, which is
+    what lets the monocular bootstrap fill its keyframe window before early
+    keyframes fall below the overlap cutoff; a constant-rate orbit makes
+    bootstrap uniformly marginal instead."""
     t = i / max(n_frames - 1, 1)
+    if ease:
+        t = t * t * (3.0 - 2.0 * t)
     angle = (t - 0.5) * sweep
     center = np.array(
         [np.sin(angle) * radius * 4.0, 0.15 * np.sin(2 * angle), 0.4 * t]
@@ -159,8 +173,9 @@ class SyntheticDataset(BaseDataset):
                 scale=float(ds.get("gaussian_scale", 0.06)),
             )
         sweep = float(ds.get("sweep", 1.2))
+        ease = bool(ds.get("ease", False))
         self.poses = [
-            orbit_pose(i, self.num_imgs, sweep=sweep)
+            orbit_pose(i, self.num_imgs, sweep=sweep, ease=ease)
             for i in range(self.num_imgs)
         ]
         self._raster_cfg = RasterConfig(max_per_tile=512, k_dup=16)
