@@ -103,6 +103,30 @@ def child() -> None:
     )
 
 
+def tpu_healthy(timeout_s: float = 120.0) -> bool:
+    """Probe the accelerator in a throwaway subprocess. The axon relay's
+    failure mode is a silent hang at backend init (futex, 0% CPU), so the
+    probe must be a separate process we can kill, never an in-process
+    import."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "jax.block_until_ready(jnp.zeros((128,)) + 1);"
+        "print('HEALTHY', jax.devices()[0].platform)"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0 and "HEALTHY" in proc.stdout
+
+
 def main() -> None:
     if os.environ.get("MONOGS_BENCH_CHILD") == "1":
         child()
@@ -110,17 +134,65 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from monogs_dev_tpu.utils.watchdog import run_supervised
 
-    lines = run_supervised(
-        [sys.executable, os.path.abspath(__file__)],
-        stall_s=420.0,
-        max_attempts=4,
-        env={"MONOGS_BENCH_CHILD": "1"},
+    # Health-gated attempts: only launch the measurement when a quick probe
+    # confirms the relay actually executes programs; a wedged relay would
+    # otherwise burn a full stall window per attempt and can poison several
+    # attempts in a row. stall_s must exceed the longest single program
+    # compile (mapping variants have been observed at ~400-500 s cold).
+    deadline = time.time() + float(os.environ.get("MONOGS_BENCH_DEADLINE_S", 4800))
+    attempt = 0
+    while time.time() < deadline:
+        if not tpu_healthy():
+            print(
+                "[bench] accelerator probe failed/hung; waiting for the relay",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(60.0)
+            continue
+        attempt += 1
+        try:
+            lines = run_supervised(
+                [sys.executable, os.path.abspath(__file__)],
+                stall_s=700.0,
+                max_attempts=1,
+                total_timeout_s=max(120.0, deadline - time.time()),
+                env={"MONOGS_BENCH_CHILD": "1"},
+            )
+        except RuntimeError:
+            print(
+                f"[bench] measurement attempt {attempt} failed; re-probing",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(10.0)
+            continue
+        for ln in lines:
+            if ln.startswith("RESULT "):
+                print(ln[len("RESULT "):])
+                return
+        print(
+            f"[bench] attempt {attempt} exited clean but without RESULT",
+            file=sys.stderr,
+            flush=True,
+        )
+    # Never leave the driver without a data point: a 0.0 entry is the honest
+    # record of "the accelerator was unreachable for the whole window".
+    print(
+        "[bench] giving up: accelerator unavailable for the whole deadline",
+        file=sys.stderr,
+        flush=True,
     )
-    for ln in lines:
-        if ln.startswith("RESULT "):
-            print(ln[len("RESULT "):])
-            return
-    raise RuntimeError("bench child produced no RESULT line")
+    print(
+        json.dumps(
+            {
+                "metric": "synthetic_vga_mono_slam_fps",
+                "value": 0.0,
+                "unit": "fps",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -170,31 +170,24 @@ def mapping_iterations(
             raster_cfg,
             need_touched=False,
         )
+        # exposure gating: apply_exposure with a zero (a, b) is the identity
+        # (exp(0)*I + 0), so masking the exposure vector is exactly the
+        # reference's initialization branch (slam_utils.py:91-128) at half
+        # the loss evaluations
+        exp_eff = jnp.where(app_exp, exp_ab, jnp.zeros(2))
         loss = mapping_loss(
             out.color,
             out.depth,
             img,
             dep if use_depth else None,
-            exp_ab,
+            exp_eff,
             cfg.monocular,
-            initialization=False,  # exposure gating handled via app_exp
+            initialization=False,
             alpha=cfg.alpha,
             rgb_boundary_threshold=cfg.rgb_boundary_threshold,
             render_opacity=out.alpha,
         )
-        loss_noexp = mapping_loss(
-            out.color,
-            out.depth,
-            img,
-            dep if use_depth else None,
-            jnp.zeros(2),
-            cfg.monocular,
-            initialization=True,
-            alpha=cfg.alpha,
-            rgb_boundary_threshold=cfg.rgb_boundary_threshold,
-            render_opacity=out.alpha,
-        )
-        loss = jnp.where(app_exp, loss, loss_noexp) * valid.astype(jnp.float32)
+        loss = loss * valid.astype(jnp.float32)
         return loss, out.radii
 
     # NOTE: deliberately no jax.checkpoint here — remat would re-run every

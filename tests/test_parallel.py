@@ -76,9 +76,21 @@ def mesh8():
 
 @pytest.fixture(scope="module")
 def scene_fixture():
+    """GT batch rendered from the clean map, then the map perturbed away
+    from the optimum. At the optimum every L1 residual is ~0 and its
+    gradient is sign(±1ulp) — pure noise that legitimately differs between
+    compiled programs — so gradient-equivalence tests must run at a
+    well-conditioned point."""
     gmap = _scene_map()
     batch = _make_batch(gmap, 8)
-    return gmap, batch
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    params = gmap.params._replace(
+        f_dc=gmap.params.f_dc
+        + 0.1 * jax.random.normal(k1, gmap.params.f_dc.shape),
+        xyz=gmap.params.xyz
+        + 0.01 * jax.random.normal(k2, gmap.params.xyz.shape),
+    )
+    return gmap._replace(params=params), batch
 
 
 def _run_step(mesh, gmap, batch, it=0, seed=0, update_every=150):
@@ -105,14 +117,30 @@ def test_psum_equivalence_vs_single_device(mesh8, scene_fixture):
 
     assert np.isfinite(float(loss8))
     np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(g8.params.xyz), np.asarray(g1.params.xyz), atol=1e-6
+    # gradient psum-exactness: after one step the Adam first moment is
+    # 0.1 * (summed gradient), so comparing moments compares the raw psum
+    # against the 1-device serial sum without Adam's normalization (which
+    # turns the FIRST step into lr*sign(g) — elements whose gradient sits at
+    # float-reassociation scale then legitimately step in opposite
+    # directions between the two meshes)
+    for leaf8, leaf1 in zip(
+        jax.tree.leaves(g8.moments.mu), jax.tree.leaves(g1.moments.mu)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(leaf8), np.asarray(leaf1), rtol=1e-4, atol=1e-7
+        )
+    # parameter updates agree up to the first-step sign bound: any element
+    # may differ by at most 2 * lr (sign flip of a ~0 gradient), and only a
+    # small fraction may sit at that bound
+    xyz_lr = OPT.position_lr_init * OPT.spatial_lr_scale
+    d_xyz = np.abs(np.asarray(g8.params.xyz) - np.asarray(g1.params.xyz))
+    assert d_xyz.max() <= 2.05 * xyz_lr, d_xyz.max()
+    assert (d_xyz > 1e-5).mean() < 0.05
+    d_op = np.abs(
+        np.asarray(g8.params.opacity_logit) - np.asarray(g1.params.opacity_logit)
     )
-    np.testing.assert_allclose(
-        np.asarray(g8.params.opacity_logit),
-        np.asarray(g1.params.opacity_logit),
-        atol=1e-6,
-    )
+    assert d_op.max() <= 2.05 * OPT.opacity_lr, d_op.max()
+    assert (d_op > 1e-5).mean() < 0.05
     np.testing.assert_allclose(
         np.asarray(b8.T_w2c), np.asarray(b1.T_w2c), atol=1e-6
     )

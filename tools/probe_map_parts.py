@@ -90,8 +90,8 @@ def loss_fn(p, images):
         out = render_binned(proj, proj.means2d, binning, intr,
                             jnp.zeros(3), rcfg, need_touched=False)
         tot = tot + mapping_loss(
-            out.color, out.depth, out.alpha, images[s], None,
-            batch.exposure[s], False, 0.9, 0.01)
+            out.color, out.depth, images[s], None,
+            batch.exposure[s], True, False, 0.9, 0.01)
     return tot
 
 @jax.jit
@@ -114,5 +114,4 @@ def mapping(chunk):
     )
 
 for chunk in (1, K):
-    timeit(f"mapping_iterations x{chunk}",
-           functools_partial := (lambda c=chunk: mapping(c)), chunk)
+    timeit(f"mapping_iterations x{chunk}", lambda c=chunk: mapping(c), chunk)
