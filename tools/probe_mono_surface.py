@@ -28,6 +28,12 @@ cfg["Results"]["save_results"] = False
 cfg["Dataset"]["scene"] = "surface"
 cfg["Dataset"]["sweep"] = float(os.environ.get("SWEEP", "0.7"))
 cfg["Dataset"]["ease"] = True
+if os.environ.get("QUARTER", "1") == "1":
+    # quarter resolution so the whole run fits ~20 min on the 1-core CPU
+    cal = cfg["Dataset"]["Calibration"]
+    for k in ("fx", "fy", "cx", "cy"):
+        cal[k] = cal[k] / 2.0
+    cal["width"], cal["height"] = cal["width"] // 2, cal["height"] // 2
 t = cfg["Training"]
 t["window_size"] = 6
 # bench_vga TPU-mode tracking knobs
