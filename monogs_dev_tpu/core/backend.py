@@ -55,6 +55,27 @@ def _set_batch_slot(images, depths, image, depth, s):
     )
 
 
+def next_chunk(
+    chunk: int, drift: float, dilation: float, current: int, map_chunk: int
+) -> int:
+    """Feedback control on the binning-reuse chunk length.
+
+    Mapping reuses per-slot tile binnings for a whole chunk of Adam
+    iterations; drift beyond the dilation margin silently truncates
+    gradients near tile borders, so the controller tracks the margin at
+    ~60% utilization. chunk=1 is gradient-exact by construction (the
+    binning is built from the very means that iteration renders), so
+    fast-motion phases (init BA, post-reset) may drive the chunk all the
+    way down; at chunk=1 the measured drift is per-iteration motion, so
+    regrow only once a 2-iteration chunk would stay well inside the
+    margin."""
+    if chunk > 1 and drift > 0.8 * dilation:
+        return max(1, chunk // 2)
+    if drift < (0.3 if chunk > 1 else 0.2) * dilation and current < map_chunk:
+        return min(map_chunk, current + (2 if chunk > 1 else 1))
+    return current
+
+
 def _next_pow2(x: int) -> int:
     p = 1
     while p < x:
@@ -141,7 +162,7 @@ class BackendEngine:
         # binning-reuse chunks silently truncate gradients exactly when map
         # quality matters most; the controller regrows the chunk once drift
         # calms down
-        self._adaptive_chunk = min(4, int(getattr(self, "map_chunk", 4)))
+        self._adaptive_chunk = min(2, int(getattr(self, "map_chunk", 2)))
         self.viewpoints: Dict[int, Keyframe] = {}
         self.current_window: List[int] = []
         self.occ_aware_visibility: Dict[int, jnp.ndarray] = {}
@@ -398,20 +419,14 @@ class BackendEngine:
                             "TPU.map_chunk or raise the dilation)",
                             tag="MonoGS-TPU",
                         )
-                # feedback control on the chunk length: the per-px-of-drift
-                # cost is silent gradient truncation, so track the dilation
-                # margin at ~60% utilization
-                dil = self.cfg.mapping_rebin_dilation
-                if not densified and chunk > 1:
-                    if drift > 0.8 * dil:
-                        self._adaptive_chunk = max(2, chunk // 2)
-                    elif (
-                        drift < 0.3 * dil
-                        and self._adaptive_chunk < self.map_chunk
-                    ):
-                        self._adaptive_chunk = min(
-                            self.map_chunk, self._adaptive_chunk + 2
-                        )
+                if not densified:
+                    self._adaptive_chunk = next_chunk(
+                        chunk,
+                        drift,
+                        self.cfg.mapping_rebin_dilation,
+                        self._adaptive_chunk,
+                        self.map_chunk,
+                    )
                 self._writeback_np(T_np, exp_np, slot_ids)
             last_batch = out.batch
             remaining -= chunk

@@ -2,6 +2,7 @@ from .mesh import (
     DPBatch,
     DPOptState,
     dp_mapping_step,
+    dp_refine_step,
     make_dp_opt_state,
     make_mesh,
     shard_batch,
@@ -11,6 +12,7 @@ __all__ = [
     "DPBatch",
     "DPOptState",
     "dp_mapping_step",
+    "dp_refine_step",
     "make_dp_opt_state",
     "make_mesh",
     "shard_batch",

@@ -292,3 +292,84 @@ def dp_mapping_step(
         return gmap_new, batch_new, opt_new, loss, dropped
 
     return step
+
+
+def dp_refine_step(
+    mesh: Mesh,
+    cfg: StepConfig,
+    opt_cfg: MapOptConfig,
+    intr: Intrinsics,
+    raster_cfg: RasterConfig,
+):
+    """Build the jitted data-parallel color-refinement step over `mesh`.
+
+    The reference's post-hoc refinement is 26,000 single-keyframe SGD
+    iterations (slam_backend.py:320-353) — embarrassingly parallel over
+    keyframes. Here every device renders ITS OWN random keyframe, the
+    (1-λ)·L1 + λ·(1-SSIM) gradients are MEANED over the mesh with one psum,
+    and the replicated Adam step applies the scheduled xyz LR. One step
+    therefore consumes n_devices keyframe samples: a minibatch of the
+    reference's per-iteration distribution (documented deviation — lower
+    gradient variance per step; run iterations/n_devices steps for the
+    reference's sample budget, or the full count for strictly more work).
+
+    Returns step(gmap, images (D,H,W,3) sharded, poses (D,4,4) sharded,
+    it, bg_color) -> (gmap, loss) with gmap replicated.
+    """
+    from ..utils.losses import l1_loss, ssim
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    def local_grads(params, active, image, pose, bg_color):
+        # leading dim of image/pose is the local shard: exactly 1 keyframe
+        img, T = image[0], pose[0]
+
+        def loss_fn(p):
+            out = render_tiled(
+                p, active, T, intr, cfg.sh_degree, bg_color, raster_cfg,
+                need_touched=False,
+            )
+            ll1 = l1_loss(out.color, img)
+            return (1.0 - opt_cfg.lambda_dssim) * ll1 + opt_cfg.lambda_dssim * (
+                1.0 - ssim(out.color, img)
+            )
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        g = jax.tree.map(lambda x: jax.lax.psum(x, axis) / n_dev, g)
+        loss = jax.lax.psum(loss, axis) / n_dev
+        return g, loss
+
+    sharded = jax.shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(gmap: GaussianMap, images, poses, it, bg_color):
+        it = it + 1
+        g, loss = sharded(gmap.params, gmap.aux.active, images, poses, bg_color)
+        xyz_lr = exponential_lr(
+            it,
+            opt_cfg.position_lr_init * opt_cfg.spatial_lr_scale,
+            opt_cfg.position_lr_final * opt_cfg.spatial_lr_scale,
+            lr_delay_mult=opt_cfg.position_lr_delay_mult,
+            max_steps=opt_cfg.position_lr_max_steps,
+        )
+        lrs = GaussianParams(
+            xyz=xyz_lr,
+            f_dc=opt_cfg.feature_lr,
+            f_rest=opt_cfg.feature_lr / 20.0,
+            log_scales=opt_cfg.scaling_lr,
+            quats=opt_cfg.rotation_lr,
+            opacity_logit=opt_cfg.opacity_lr,
+        )
+        params, moments = adam_step(
+            gmap.params, g, gmap.moments, lrs, gmap.aux.active
+        )
+        return GaussianMap(params, gmap.aux, moments), loss, it
+
+    return step

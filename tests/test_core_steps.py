@@ -213,3 +213,33 @@ class TestMappingConvergence:
             losses.append(float(out.last_loss))
         assert losses[-1] < losses[0] * 0.92, losses
         assert all(b <= a for a, b in zip(losses, losses[1:])), losses
+
+
+class TestAdaptiveChunkController:
+    """next_chunk: binning-reuse feedback control (core/backend.py)."""
+
+    def test_shrinks_toward_exact_on_drift(self):
+        from monogs_dev_tpu.core.backend import next_chunk
+
+        # drift beyond 80% of the margin halves the chunk, down to 1
+        # (gradient-exact: binning rebuilt every iteration)
+        c = 8
+        for _ in range(4):
+            c = next_chunk(c, drift=10.0, dilation=4.0, current=c, map_chunk=25)
+        assert c == 1
+
+    def test_regrows_when_calm(self):
+        from monogs_dev_tpu.core.backend import next_chunk
+
+        # at chunk=1 the drift is per-iteration motion: regrow needs
+        # drift < 0.2*dilation, and proceeds by +1
+        assert next_chunk(1, drift=1.0, dilation=4.0, current=1, map_chunk=25) == 1
+        assert next_chunk(1, drift=0.5, dilation=4.0, current=1, map_chunk=25) == 2
+        # at chunk>1 regrow needs drift < 0.3*dilation, by +2, capped
+        assert next_chunk(4, drift=1.0, dilation=4.0, current=4, map_chunk=25) == 6
+        assert next_chunk(4, drift=1.0, dilation=4.0, current=24, map_chunk=25) == 25
+
+    def test_holds_in_deadband(self):
+        from monogs_dev_tpu.core.backend import next_chunk
+
+        assert next_chunk(4, drift=2.0, dilation=4.0, current=4, map_chunk=25) == 4

@@ -230,3 +230,38 @@ def test_multi_step_convergence(mesh8):
     gap0, gap_end = losses[0] - floor, losses[-1] - floor
     assert gap0 > 0.01, (losses[0], floor)  # perturbation visible
     assert gap_end < 0.5 * gap0, (floor, losses)
+
+
+def test_dp_refinement_converges_and_replicates(mesh8):
+    """dp_refine_step: 8 devices each refine their own keyframe; the meaned
+    psum gradient must drive the photometric loss down and keep the map
+    bitwise replicated."""
+    from monogs_dev_tpu.parallel import dp_refine_step
+
+    gmap = _scene_map()
+    batch = _make_batch(gmap, 8)
+    # perturb colors away from the optimum so there is signal to refine
+    k = jax.random.PRNGKey(3)
+    gmap = gmap._replace(
+        params=gmap.params._replace(
+            f_dc=gmap.params.f_dc + 0.2 * jax.random.normal(k, gmap.params.f_dc.shape)
+        )
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kf_shard = NamedSharding(mesh8, P("kf"))
+    images = jax.device_put(batch.images, kf_shard)
+    poses = jax.device_put(batch.T_w2c, kf_shard)
+    gmap = jax.device_put(gmap, NamedSharding(mesh8, P()))
+
+    step = dp_refine_step(mesh8, StepConfig(monocular=False), OPT, INTR, RCFG)
+    it = jnp.zeros((), jnp.int32)
+    losses = []
+    for _ in range(20):
+        gmap, loss, it = step(gmap, images, poses, it, jnp.zeros(3))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
+    # replicated output: every device shard of f_dc must be identical
+    shards = [np.asarray(s.data) for s in gmap.params.f_dc.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
