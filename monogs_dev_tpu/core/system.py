@@ -370,6 +370,21 @@ class SLAM:
         Log(f"checkpoint saved to {path}")
         return path
 
+    def resume(self, path: str) -> int:
+        """Restore a full-state checkpoint and position the frontend at the
+        next unprocessed frame; a following `run()` continues the sequence.
+        Must be called before `run()` (the backend protocol is quiescent)."""
+        from ..utils.checkpoint import restore_checkpoint
+        from ..utils.device_lock import DEVICE_LOCK
+
+        with DEVICE_LOCK:
+            next_frame = restore_checkpoint(path, self.engine, self.frontend)
+        Log(
+            f"resumed from {path}: {len(self.engine.viewpoints)} keyframes, "
+            f"continuing at frame {next_frame}"
+        )
+        return next_frame
+
 
 def make_save_dir(config, config_path: str) -> Optional[str]:
     """results/<dataset>_<scene>/<datetime>/ layout (slam.py:229-242)."""

@@ -27,6 +27,14 @@ def main() -> int:
         "--max-frames", type=int, default=None, help="limit sequence length"
     )
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--resume", type=str, default=None,
+        help="full-state checkpoint.npz to resume from (utils/checkpoint.py)",
+    )
+    parser.add_argument(
+        "--save-checkpoint", action="store_true",
+        help="write checkpoint.npz into the results dir after the run",
+    )
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -61,7 +69,16 @@ def main() -> int:
             Log("use_gui=True but no $DISPLAY; GUI disabled "
                 "(use viz.OfflineViewer / export_turntable headless)")
     try:
+        if args.resume:
+            slam.resume(args.resume)
         slam.run(max_frames=args.max_frames)
+        if args.save_checkpoint:
+            # without a results dir (save_results=False), still honor the
+            # explicit flag instead of silently dropping the checkpoint
+            path = slam.save_checkpoint() or slam.save_checkpoint(
+                "checkpoint.npz"
+            )
+            Log(f"checkpoint at {path}")
         if args.eval or config["Results"].get("eval_rendering", False):
             results = slam.evaluate(
                 eval_rendering_flag=config["Results"].get("eval_rendering", True)

