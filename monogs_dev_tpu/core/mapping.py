@@ -194,6 +194,13 @@ def mapping_iterations(
     # frame's forward inside the backward (+~40% compute). Residuals for all
     # window slots fit HBM comfortably (~100 MB/frame at VGA / 64k capacity).
 
+    # MEASURED DEAD END (do not retry): batching all B slots into one
+    # (B*T)-program Pallas dispatch (vmapped projection + batched gather)
+    # is 2.2x SLOWER than this sequential lax.map — 346 vs 158 ms/iter at
+    # B=10 live slots on v5e (tools/probe_map_cost.py). The batched gather
+    # materializes (B, T, L, D) before the kernel can start, while the
+    # sequential form lets XLA overlap slot k's gather with slot k-1's
+    # blend; it also loses the lax.cond dead-slot skip below.
     def total_loss(params, taus, exps, probes, T_all, active, binnings):
         def one(args):
             tau, exp_ab, probe, img, dep, T0, valid, app_exp, binning = args
