@@ -36,6 +36,17 @@ n_touched — slam_backend.py:300-305). Visibility renders (keyframe policy,
 occ-aware visibility) use the forward-only `blend_tiles_pallas_touch`
 variant, which additionally writes per-entry contributed-pixel counts —
 the Pallas replacement for the dense XLA blend on those paths.
+
+MEASURED DEAD END (do not retry): offloading the inner loop to the MXU —
+quadratic as coeffs @ [1,X,Y,X²,XY,Y²] in tile-local coords, the five
+weighted output sums as one f8ᵀ @ w contraction, and the backward's five
+lane-reductions as one d_power @ basisᵀ moment matmul — is SLOWER than the
+pure-VPU form: 13.6 ms vs 8.6 ms VJP, 7.4 vs 5.8 ms forward at per-tile
+density 283 on v5e (tools/probe_iter_parts.py). Not a precision artifact
+(DEFAULT vs HIGHEST differs by ~5%): the (32,8)x(8,256) matmuls sit on the
+serial transmittance chain, so their MXU latency adds per chunk instead of
+overlapping. The correctness of that variant was fully test-verified, so
+this is purely a performance rejection.
 """
 
 from __future__ import annotations
