@@ -55,6 +55,21 @@ def _set_batch_slot(images, depths, image, depth, s):
     )
 
 
+@jax.jit
+def _swap_random_slots(images, depths, T, exposure, img2, dep2, T2, exp2, start):
+    """Replace the 2 random-keyframe slots of a device-resident batch in ONE
+    program (dynamic start index). Used between chunks of a mapping round so
+    the optimized window poses never leave the device (the per-chunk
+    host writeback + rebuild was a full transport roundtrip per chunk on the
+    remote-relay device)."""
+    return (
+        jax.lax.dynamic_update_slice(images, img2, (start, 0, 0, 0)),
+        jax.lax.dynamic_update_slice(depths, dep2, (start, 0, 0)),
+        jax.lax.dynamic_update_slice(T, T2, (start, 0, 0)),
+        jax.lax.dynamic_update_slice(exposure, exp2, (start, 0)),
+    )
+
+
 def next_chunk(
     chunk: int, drift: float, dilation: float, current: int, map_chunk: int
 ) -> int:
@@ -173,6 +188,9 @@ class BackendEngine:
         self.telemetry = {
             "insert_dropped": 0,
             "densify_dropped": 0,
+            "map_chunks": 0,  # chunk dispatches (fixed cost each: binning
+            # rebuild + host sync) vs iterations actually run
+            "map_iters": 0,
             # max screen-space drift (px) of projected means within any
             # chunk that reused its binnings; compare against
             # cfg.mapping_rebin_dilation (gradient truncation is silent
@@ -311,6 +329,77 @@ class BackendEngine:
             kf.T_w2c = T_np[s]
             kf.exposure = exp_np[s]
 
+    def _resample_random_slots(
+        self, batch: KeyframeBatch, slot_ids: list[int], n_win: int
+    ) -> tuple[KeyframeBatch, list[int]]:
+        """Redraw the 2 random past keyframes of a device-resident batch
+        between chunks (slam_backend.py resamples per iteration; we resample
+        per binning-reuse chunk). Window slots — whose poses/exposures the
+        previous chunk optimized — stay on device untouched. Falls back to
+        keeping the current draw when the round has fewer than 2 random
+        slots (early phases)."""
+        n_rand = len(slot_ids) - n_win
+        others = [i for i in self.viewpoints if i not in set(slot_ids[:n_win])]
+        if n_rand != 2 or len(others) < 2:
+            return batch, slot_ids
+        picks = self.np_rng.choice(np.array(others), size=2, replace=False)
+        rand = [int(i) for i in picks]
+        kfs = [self.viewpoints[i] for i in rand]
+        img2 = jnp.stack([kf.image for kf in kfs])
+        if self._zero_depth is None:
+            self._zero_depth = jnp.zeros((self.intr.height, self.intr.width))
+        dep2 = jnp.stack(
+            [kf.depth if kf.depth is not None else self._zero_depth for kf in kfs]
+        )
+        T2 = np.stack([kf.T_w2c for kf in kfs]).astype(np.float32)
+        exp2 = np.stack([kf.exposure for kf in kfs]).astype(np.float32)
+        images, depths, T, exposure = _swap_random_slots(
+            batch.images, batch.depths, batch.T_w2c, batch.exposure,
+            img2, dep2, T2, exp2, np.int32(n_win),
+        )
+        new_ids = slot_ids[:n_win] + rand
+        cache_ids = new_ids + [None] * (batch.T_w2c.shape[0] - len(new_ids))
+        self._batch_cache = (images, depths, cache_ids)
+        batch = batch._replace(
+            images=images, depths=depths, T_w2c=T, exposure=exposure
+        )
+        return batch, new_ids
+
+    def _consume_chunk_telemetry(
+        self, out, chunk: int, densified: bool
+    ) -> None:
+        """Host fetch + adaptive-chunk feedback for ONE dispatched chunk.
+
+        Called one chunk BEHIND the dispatch loop so the device queue never
+        drains on this sync; the controller therefore reacts to the previous
+        chunk's drift, one decision late."""
+        n_dropped, drift_dev = jax.device_get((out.n_dropped, out.max_drift))
+        self.telemetry["densify_dropped"] += int(n_dropped)
+        self.telemetry["map_chunks"] += 1
+        self.telemetry["map_iters"] += chunk
+        # drift telemetry is meaningless on chunks whose final iteration
+        # densified: split children land in slots that were active at
+        # binning time, reading as huge fake "drift"
+        drift = 0.0 if densified else float(drift_dev)
+        if drift > self.telemetry["max_binning_drift"]:
+            self.telemetry["max_binning_drift"] = drift
+            if drift > self.cfg.mapping_rebin_dilation:
+                Log(
+                    f"mapping binning drift {drift:.1f}px exceeds "
+                    f"dilation {self.cfg.mapping_rebin_dilation:.1f}px "
+                    "(gradients near tile borders truncated; lower "
+                    "TPU.map_chunk or raise the dilation)",
+                    tag="MonoGS-TPU",
+                )
+        if not densified:
+            self._adaptive_chunk = next_chunk(
+                chunk,
+                drift,
+                self.cfg.mapping_rebin_dilation,
+                self._adaptive_chunk,
+                self.map_chunk,
+            )
+
     # ---------------------------------------------------------------- mapping
 
     def map(
@@ -350,6 +439,12 @@ class BackendEngine:
         remaining = iters
         last_batch = None
         slot_ids: list[int] = []
+        batch = None
+        pending = None  # previous chunk's (out, chunk, it_end, densified)
+        tier = self._slot_tier()
+        if self.kf_state is None or self.kf_state.mu.shape[0] != tier:
+            self.kf_state = make_keyframe_opt_state(tier)
+        n_win = min(len(self.current_window), tier - 2)
         while remaining > 0:
             chunk = min(self._adaptive_chunk, remaining)
             # the device program reuses per-slot binnings for a whole chunk;
@@ -360,15 +455,19 @@ class BackendEngine:
                 reset_interval, init_mode,
             )
             chunk = min(chunk, event - self.iteration_count)
-            tier = self._slot_tier()
-            if self.kf_state is None or self.kf_state.mu.shape[0] != tier:
-                self.kf_state = make_keyframe_opt_state(tier)
             with DEVICE_LOCK:
-                batch, slot_ids = self._build_batch(
-                    apply_exposure=not init_mode,
-                    frames_to_optimize=frames_to_optimize,
-                    b=tier,
-                )
+                if batch is None:
+                    batch, slot_ids = self._build_batch(
+                        apply_exposure=not init_mode,
+                        frames_to_optimize=frames_to_optimize,
+                        b=tier,
+                    )
+                else:
+                    # chunks after the first: poses/exposures stay on device
+                    # (out.batch), only the 2 random keyframe slots redraw
+                    batch, slot_ids = self._resample_random_slots(
+                        batch, slot_ids, n_win
+                    )
                 out = mapping_iterations(
                     self.gmap,
                     batch,
@@ -393,43 +492,28 @@ class BackendEngine:
                 self.gmap = out.gmap
                 self.kf_state = out.kf_state
                 self.iteration_count += chunk
-                # ONE batched device_get per chunk: telemetry scalars +
-                # optimized poses/exposures (each eager fetch is a full
-                # transport roundtrip on the remote-relay device)
-                n_dropped, drift_dev, T_np, exp_np = jax.device_get(
-                    (out.n_dropped, out.max_drift, out.batch.T_w2c,
-                     out.batch.exposure)
-                )
-                self.telemetry["densify_dropped"] += int(n_dropped)
-                # drift telemetry is meaningless on chunks whose final
-                # iteration densified: split children land in slots that were
-                # active at binning time, reading as huge fake "drift"
                 it_end = self.iteration_count
                 densified = (it_end % update_every) == update_offset or (
                     init_mode and it_end == reset_interval
                 )
-                drift = 0.0 if densified else float(drift_dev)
-                if drift > self.telemetry["max_binning_drift"]:
-                    self.telemetry["max_binning_drift"] = drift
-                    if drift > self.cfg.mapping_rebin_dilation:
-                        Log(
-                            f"mapping binning drift {drift:.1f}px exceeds "
-                            f"dilation {self.cfg.mapping_rebin_dilation:.1f}px "
-                            "(gradients near tile borders truncated; lower "
-                            "TPU.map_chunk or raise the dilation)",
-                            tag="MonoGS-TPU",
-                        )
-                if not densified:
-                    self._adaptive_chunk = next_chunk(
-                        chunk,
-                        drift,
-                        self.cfg.mapping_rebin_dilation,
-                        self._adaptive_chunk,
-                        self.map_chunk,
-                    )
-                self._writeback_np(T_np, exp_np, slot_ids)
+                # fetch the PREVIOUS chunk's telemetry only now that this
+                # chunk is enqueued: the host sync happens while the device
+                # is busy, so the queue never drains between chunks
+                if pending is not None:
+                    self._consume_chunk_telemetry(*pending)
+                pending = (out, chunk, densified)
+                batch = out.batch
             last_batch = out.batch
             remaining -= chunk
+
+        if pending is not None:
+            with DEVICE_LOCK:
+                self._consume_chunk_telemetry(*pending)
+                # ONE pose/exposure writeback per round (not per chunk)
+                T_np, exp_np = jax.device_get(
+                    (last_batch.T_w2c, last_batch.exposure)
+                )
+                self._writeback_np(T_np, exp_np, slot_ids)
 
         if last_batch is not None and harvest:
             with DEVICE_LOCK:
