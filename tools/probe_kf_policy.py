@@ -21,6 +21,9 @@ config["Results"]["save_results"] = False
 orig = fe_mod.is_keyframe_check
 
 
+HOLDER = {}
+
+
 def wrapped(T_cur, T_last_kf, median_depth, cur_vis, last_kf_vis,
             kf_translation, kf_min_translation, kf_overlap):
     dist = np.linalg.norm((T_cur @ np.linalg.inv(T_last_kf))[0:3, 3])
@@ -29,7 +32,7 @@ def wrapped(T_cur, T_last_kf, median_depth, cur_vis, last_kf_vis,
     ratio = inter / max(union, 1)
     r = orig(T_cur, T_last_kf, median_depth, cur_vis, last_kf_vis,
              kf_translation, kf_min_translation, kf_overlap)
-    print(f"KFCHK dist={dist:.4f} med={median_depth:.3f} "
+    print(f"KFCHK f={len(HOLDER['slam'].frontend.cameras)} dist={dist:.4f} med={median_depth:.3f} "
           f"th={kf_translation * median_depth:.4f}/{kf_min_translation * median_depth:.4f} "
           f"iou={ratio:.3f} |cur|={np.count_nonzero(cur_vis)} "
           f"|last|={np.count_nonzero(last_kf_vis)} -> {r}", flush=True)
@@ -39,8 +42,9 @@ def wrapped(T_cur, T_last_kf, median_depth, cur_vis, last_kf_vis,
 fe_mod.is_keyframe_check = wrapped
 
 slam = SLAM(config, save_dir=None)
-for i in range(110):
+HOLDER["slam"] = slam
+for i in range(len(slam.dataset)):
     slam.dataset.render_frame(i)
 slam.prewarm()
 print("prewarm done", flush=True)
-slam.frontend.run(max_frames=105)
+slam.frontend.run(max_frames=186)
