@@ -327,7 +327,17 @@ def mapping_iterations(
         # ---- densification stats (per-frame, matching per-render accumulation)
         vis_f = radii > 0.0  # (B, N)
         valid_f = batch.valid[:, None] & vis_f
-        grad_norm = jnp.linalg.norm(g_probe, axis=-1)  # (B, N)
+        # NDC-convention grads: the reference accumulates the rasterizer's
+        # means2D grads (gaussian_model.py:691-695) which the CUDA backward
+        # emits in NDC half-extent units; densify_grad_threshold=0.0002 is
+        # calibrated to that. Our probe grads are dL/d(pixels) — scale by
+        # (W/2, H/2) or the threshold is unreachable (measured: gmax 2e-5 on
+        # the VGA bench, densify NEVER fired, prunes monotonically shrank
+        # the map through the init-BA and the loss ratcheted upward).
+        ndc_scale = jnp.array(
+            [intr.width * 0.5, intr.height * 0.5], g_probe.dtype
+        )
+        grad_norm = jnp.linalg.norm(g_probe * ndc_scale, axis=-1)  # (B, N)
         aux = c.gmap.aux._replace(
             grad_accum=c.gmap.aux.grad_accum
             + (grad_norm * valid_f.astype(jnp.float32)).sum(0),
