@@ -23,7 +23,8 @@ from monogs_dev_tpu.core.mapping import (
 )
 import numpy as np
 
-CAP = 32768
+CAP = int(os.environ.get("PROBE_CAP", 65536))
+N_PTS = int(os.environ.get("PROBE_N", 24000))
 H, W = 480, 640
 B = 8
 intr = Intrinsics(fx=576.0, fy=576.0, cx=320.0, cy=240.0, width=W, height=H)
@@ -31,7 +32,7 @@ rcfg = RasterConfig(max_per_tile=512, k_dup=8, tile_group=60)
 cfg = StepConfig(monocular=True, window_slots=B, alpha=0.9, exposure_lr=0.0)
 ocfg = MapOptConfig()
 
-params, active = make_surface_scene(jax.random.PRNGKey(0), n=12000)
+params, active = make_surface_scene(jax.random.PRNGKey(0), n=N_PTS)
 gmap = create_map(CAP, 0)
 gmap, _ = insert_points(gmap, params, active, 0)
 
@@ -102,6 +103,64 @@ def grads():
     return jax.lax.fori_loop(0, K, body, jnp.zeros(()))
 
 timeit("B loss grad (rebin each)", grads, K)
+
+
+# (b2) grads wrt pose tangents only (tracking-like backward, B slots)
+def loss_tau(taus, images):
+    tot = jnp.zeros(())
+    for s in range(B):
+        from monogs_dev_tpu.geometry.lie import se3_exp
+        T_new = se3_exp(taus[s]) @ batch.T_w2c[s]
+        proj = project_gaussians(gmap.params, gmap.aux.active, T_new, intr, 0)
+        binning = build_binning(proj, intr, rcfg)
+        out = render_binned(proj, proj.means2d, binning, intr,
+                            jnp.zeros(3), rcfg, need_touched=False)
+        tot = tot + mapping_loss(
+            out.color, out.depth, images[s], None,
+            batch.exposure[s], True, False, 0.9, 0.01)
+    return tot
+
+@jax.jit
+def grads_tau():
+    def body(i, acc):
+        g = jax.grad(loss_tau)(jnp.zeros((B, 6)), batch.images)
+        return acc + g[0, 0] * 1e-20
+    return jax.lax.fori_loop(0, K, body, jnp.zeros(()))
+
+timeit("B pose-grad only (rebin each)", grads_tau, K)
+
+
+# (b3) map grads with binning built once outside the loop (chunk reuse)
+def loss_fixed_bin(p, images, binnings, projs_m2d):
+    tot = jnp.zeros(())
+    for s in range(B):
+        proj = project_gaussians(p, gmap.aux.active, batch.T_w2c[s], intr, 0)
+        out = render_binned(
+            proj, proj.means2d,
+            jax.tree.map(lambda x: x[s], binnings), intr,
+            jnp.zeros(3), rcfg, need_touched=False)
+        tot = tot + mapping_loss(
+            out.color, out.depth, images[s], None,
+            batch.exposure[s], True, False, 0.9, 0.01)
+    return tot
+
+@jax.jit
+def grads_fixed_bin():
+    bins = []
+    m2ds = []
+    for s in range(B):
+        proj = jax.lax.stop_gradient(project_gaussians(
+            gmap.params, gmap.aux.active, batch.T_w2c[s], intr, 0))
+        bins.append(build_binning(proj, intr, rcfg))
+        m2ds.append(proj.means2d)
+    binnings = jax.tree.map(lambda *xs: jnp.stack(xs), *bins)
+    m2d = jnp.stack(m2ds)
+    def body(i, acc):
+        g = jax.grad(loss_fixed_bin)(gmap.params, batch.images, binnings, m2d)
+        return acc + g.xyz[0, 0] * 1e-20
+    return jax.lax.fori_loop(0, K, body, jnp.zeros(()))
+
+timeit("B loss grad (bin reused)", grads_fixed_bin, K)
 
 # (c) the real mapping program, chunk of K iterations
 def mapping(chunk):
