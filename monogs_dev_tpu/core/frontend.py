@@ -698,9 +698,25 @@ class FrontEnd:
                 )
                 self.cameras[cur_frame_idx].is_keyframe = True
                 self.kf_indices.append(cur_frame_idx)
+                # trigger telemetry: which policy branch fired
+                # (slam_frontend.py:198-225 semantics)
+                last_vis = self.occ_aware_visibility.get(
+                    last_keyframe_idx, np.zeros_like(cur_vis)
+                )
+                dist = np.linalg.norm(
+                    (np.asarray(track.T_w2c)
+                     @ np.linalg.inv(self.cameras[last_keyframe_idx].T_est))[:3, 3]
+                )
+                ratio = np.count_nonzero(cur_vis & last_vis) / max(
+                    np.count_nonzero(cur_vis | last_vis), 1
+                )
                 Log(
                     f"Keyframe {cur_frame_idx} (#{len(self.kf_indices)}), "
-                    f"window {self.current_window}"
+                    f"window {self.current_window} "
+                    f"[overlap {ratio:.2f}/{self.kf_overlap}, "
+                    f"dist {dist:.3f} vs kf {self.kf_translation * self.median_depth:.3f}"
+                    f"/min {self.kf_min_translation * self.median_depth:.3f}, "
+                    f"|vis| {int(np.count_nonzero(cur_vis))}]"
                 )
                 self.requested_keyframe += 1
                 self._send(
