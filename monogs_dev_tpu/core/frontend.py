@@ -713,10 +713,11 @@ class FrontEnd:
                 Log(
                     f"Keyframe {cur_frame_idx} (#{len(self.kf_indices)}), "
                     f"window {self.current_window} "
-                    f"[overlap {ratio:.2f}/{self.kf_overlap}, "
+                    # parentheses, not brackets: rich markup eats [tags]
+                    f"(overlap {ratio:.2f}/{self.kf_overlap}, "
                     f"dist {dist:.3f} vs kf {self.kf_translation * self.median_depth:.3f}"
                     f"/min {self.kf_min_translation * self.median_depth:.3f}, "
-                    f"|vis| {int(np.count_nonzero(cur_vis))}]"
+                    f"n_vis {int(np.count_nonzero(cur_vis))})"
                 )
                 self.requested_keyframe += 1
                 self._send(

@@ -174,3 +174,106 @@ def mapping(chunk):
 
 for chunk in (1, K):
     timeit(f"mapping_iterations x{chunk}", lambda c=chunk: mapping(c), chunk)
+
+
+# (b4) bin-reused grad with mapping's exact argnums (params, taus, exps, probes)
+from monogs_dev_tpu.geometry.lie import se3_exp as _se3
+from monogs_dev_tpu.models.gaussians import adam_step as _adam, GaussianParams as _GP
+from monogs_dev_tpu.models.gaussians import exponential_lr as _elr
+
+def loss4(p, taus, exps, probes, binnings, m2d):
+    tot = jnp.zeros(())
+    for s in range(B):
+        T = _se3(taus[s]) @ batch.T_w2c[s]
+        proj = project_gaussians(p, gmap.aux.active, T, intr, 0)
+        out = render_binned(
+            proj, proj.means2d + probes[s],
+            jax.tree.map(lambda x: x[s], binnings), intr,
+            jnp.zeros(3), rcfg, need_touched=False)
+        tot = tot + mapping_loss(
+            out.color, out.depth, batch.images[s], None,
+            exps[s], True, False, 0.9, 0.01)
+    return tot, jnp.zeros((B, CAP))
+
+g4 = jax.value_and_grad(loss4, argnums=(0, 1, 2, 3), has_aux=True)
+
+@jax.jit
+def grads4():
+    bins = []
+    for s in range(B):
+        proj = jax.lax.stop_gradient(project_gaussians(
+            gmap.params, gmap.aux.active, batch.T_w2c[s], intr, 0))
+        bins.append(build_binning(proj, intr, rcfg))
+    binnings = jax.tree.map(lambda *xs: jnp.stack(xs), *bins)
+    def body(i, acc):
+        (l, _), (gm, gt, ge, gp) = g4(
+            gmap.params, jnp.zeros((B, 6)), jnp.zeros((B, 2)),
+            jnp.zeros((B, CAP, 2)), binnings, None)
+        return acc + gm.xyz[0, 0] * 1e-20 + gt[0, 0] * 1e-20
+    return jax.lax.fori_loop(0, K, body, jnp.zeros(()))
+
+timeit("B grad4 pose+probe (bin reused)", grads4, K)
+
+
+# (b5) b4 + map adam + kf adam + densify stats (no conds, no drift)
+@jax.jit
+def grads5():
+    bins = []
+    for s in range(B):
+        proj = jax.lax.stop_gradient(project_gaussians(
+            gmap.params, gmap.aux.active, batch.T_w2c[s], intr, 0))
+        bins.append(build_binning(proj, intr, rcfg))
+    binnings = jax.tree.map(lambda *xs: jnp.stack(xs), *bins)
+    def body(i, carry):
+        p, mom, acc = carry
+        (l, radii), (gm, gt, ge, gp) = g4(
+            p, jnp.zeros((B, 6)), jnp.zeros((B, 2)),
+            jnp.zeros((B, CAP, 2)), binnings, None)
+        xyz_lr = _elr(i, 0.00016 * 6, 0.0000016 * 6, 0.01, 30000)
+        lrs = _GP(xyz=xyz_lr, f_dc=0.0025, f_rest=0.000125,
+                  log_scales=0.001, quats=0.001, opacity_logit=0.05)
+        p2, mom2 = _adam(p, gm, mom, lrs, gmap.aux.active)
+        gn = jnp.linalg.norm(gp * jnp.array([320.0, 240.0]), axis=-1).sum(0)
+        return p2, mom2, acc + gn[0] * 1e-20
+    p, mom, acc = jax.lax.fori_loop(
+        0, K, body, (gmap.params, gmap.moments, jnp.zeros(())))
+    return acc + p.xyz[0, 0] * 1e-20
+
+timeit("B grad5 +adam+stats (bin reused)", grads5, K)
+
+
+def _carried(name, with_adam, with_stats):
+    @jax.jit
+    def run():
+        bins = []
+        for s in range(B):
+            proj = jax.lax.stop_gradient(project_gaussians(
+                gmap.params, gmap.aux.active, batch.T_w2c[s], intr, 0))
+            bins.append(build_binning(proj, intr, rcfg))
+        binnings = jax.tree.map(lambda *xs: jnp.stack(xs), *bins)
+        def body(i, carry):
+            p, mom, acc = carry
+            (l, radii), (gm, gt, ge, gp) = g4(
+                p, jnp.zeros((B, 6)), jnp.zeros((B, 2)),
+                jnp.zeros((B, CAP, 2)), binnings, None)
+            if with_adam:
+                xyz_lr = _elr(i, 0.00016 * 6, 0.0000016 * 6, 0.01, 30000)
+                lrs = _GP(xyz=xyz_lr, f_dc=0.0025, f_rest=0.000125,
+                          log_scales=0.001, quats=0.001, opacity_logit=0.05)
+                p2, mom2 = _adam(p, gm, mom, lrs, gmap.aux.active)
+            else:
+                p2 = jax.tree.map(lambda a, g: a - 1e-12 * g, p, gm)
+                mom2 = mom
+            if with_stats:
+                gn = jnp.linalg.norm(
+                    gp * jnp.array([320.0, 240.0]), axis=-1).sum(0)
+                acc = acc + gn[0] * 1e-20
+            return p2, mom2, acc
+        p, mom, acc = jax.lax.fori_loop(
+            0, K, body, (gmap.params, gmap.moments, jnp.zeros(())))
+        return acc + p.xyz[0, 0] * 1e-20
+    timeit(name, run, K)
+
+_carried("carried grad only", False, False)
+_carried("carried grad+adam", True, False)
+_carried("carried grad+stats", False, True)
