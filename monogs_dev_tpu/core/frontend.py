@@ -225,7 +225,14 @@ class FrontEnd:
         # prefix that covers the snapshot's high-water mark. Two tiers keep
         # it to two compiled tracking programs.
         cap = engine.capacity
-        self.track_tiers = sorted({min(cap, max(4096, cap // 4)), cap})
+        # three tiers: cap/4, cap/2, cap — the bench map's high-water sits
+        # between cap/4 and cap/2 for most of a mono run (9.6k inserts per
+        # keyframe), and per-iteration tracking cost scales with the static
+        # tier (projection rows + binning sort keys), so the middle tier
+        # roughly halves tracking cost there for one extra ~1 min compile
+        self.track_tiers = sorted(
+            {min(cap, max(4096, cap // 4)), min(cap, max(4096, cap // 2)), cap}
+        )
         self._snapshot_hw: Optional[int] = None  # recomputed lazily per sync
         self._sliced_snapshot = None  # (tier, params, active) cache per sync
         # one-frame-ahead h2d prefetch: the upload of frame i+1 overlaps
