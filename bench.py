@@ -69,6 +69,7 @@ def child() -> None:
     # measured steady-state window; assert zero compiles inside it
     fps = 0.0
     for attempt in range(2):
+        snap = slam.timers.snapshot()
         with CompileCounter() as cc:
             t0 = time.time()
             slam.frontend.run(max_frames=frame + n_meas)
@@ -77,6 +78,12 @@ def child() -> None:
         print(
             f"bench: window [{frame}, {frame + n_meas}) {fps:.3f} fps, "
             f"{cc.count} compiles {cc.names[:8]}",
+            flush=True,
+        )
+        # per-phase split for the MEASURED WINDOW ONLY (warmup/init-BA
+        # excluded) — the perf-attribution record for the next round
+        print(
+            f"bench: steady split {json.dumps(slam.timers.delta_summary(snap))}",
             flush=True,
         )
         print(f"bench: timers {json.dumps(slam.timers.summary())}", flush=True)

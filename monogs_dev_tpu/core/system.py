@@ -27,6 +27,21 @@ from .frontend import FrontEnd
 from .params import MapOptConfig, StepConfig
 
 
+def resolve_thread_flags(config) -> tuple:
+    """(frontend_single_thread, backend_single_thread).
+
+    The reference reads two SAME-NAMED but distinct flags:
+    `Training.single_thread` in the frontend (slam_frontend.py:55) and
+    `Dataset.single_thread` in the backend (slam_backend.py:61-65). The
+    `_sp` Replica configs set ONLY the Dataset one — serialized mapping at
+    mapping_itr_num iters/kf — on top of a Replica base that always sets
+    the Training one (frontend backpressure)."""
+    return (
+        bool(config["Training"].get("single_thread", False)),
+        bool((config.get("Dataset") or {}).get("single_thread", False)),
+    )
+
+
 def raster_config_from(config) -> RasterConfig:
     tpu = config.get("TPU", {}) or {}
     return RasterConfig(
@@ -63,7 +78,18 @@ class SLAM:
         tpu = config.get("TPU", {}) or {}
         self.capacity = int(tpu.get("capacity", 65536))
 
-        self.single_thread = bool(config["Training"].get("single_thread", False))
+        # Reference quirk (SURVEY.md §2.14): TWO distinct flags share the
+        # name "single_thread". `Training.single_thread` is the FRONTEND
+        # flag (keyframe backpressure + create_kf gating,
+        # /root/reference/utils/slam_frontend.py:55,366,433);
+        # `Dataset.single_thread` is the BACKEND flag — serialized mapping
+        # at mapping_itr_num iters/kf with no background rounds
+        # (/root/reference/utils/slam_backend.py:61-65,377,421). The latter
+        # is the only content of the nine `_sp` Replica configs and selects
+        # the direct (schedulerless) mode here.
+        self.single_thread, self.backend_single_thread = resolve_thread_flags(
+            config
+        )
         self.engine = BackendEngine(
             config,
             self.step_cfg,
@@ -78,7 +104,7 @@ class SLAM:
         # stream) or "thread" (reference-style worker thread — wedges on
         # relay-attached TPUs, fine on CPU/directly-attached chips)
         scheduler = str(tpu.get("scheduler", "inline"))
-        if self.single_thread:
+        if self.backend_single_thread:
             self.backend_thread = None
         elif scheduler == "thread":
             self.backend_thread = BackendThread(self.engine)

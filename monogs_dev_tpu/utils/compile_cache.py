@@ -14,10 +14,37 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
+def _host_namespace() -> str:
+    """Backend- and host-specific cache subdirectory.
+
+    XLA's persistent cache key does NOT include the CPU feature set it
+    AOT-compiled for — loading a CPU artifact from a different host logs
+    'machine type ... doesn't match' and warns of SIGILL/execution errors.
+    Namespacing by platform + a stable hash of /proc/cpuinfo's flags line
+    makes foreign artifacts invisible instead of loadable."""
+    import hashlib
+
+    import jax
+
+    backend = jax.default_backend()
+    tag = backend
+    if backend == "cpu":
+        try:
+            with open("/proc/cpuinfo", "r", encoding="utf-8") as f:
+                flags = next(
+                    (ln for ln in f if ln.startswith("flags")), ""
+                )
+            tag += "-" + hashlib.sha1(flags.encode()).hexdigest()[:10]
+        except OSError:
+            pass
+    return tag
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     import jax
 
-    cache_dir = path or os.environ.get("MONOGS_TPU_CACHE", _DEFAULT_DIR)
+    base = path or os.environ.get("MONOGS_TPU_CACHE", _DEFAULT_DIR)
+    cache_dir = os.path.join(base, _host_namespace())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -22,6 +22,7 @@ class PhaseTimers:
     def __init__(self):
         self.total: Dict[str, float] = defaultdict(float)
         self.count: Dict[str, int] = defaultdict(int)
+        self.tallies: Dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
     def phase(self, name: str):
@@ -32,8 +33,39 @@ class PhaseTimers:
             self.total[name] += time.time() - t0
             self.count[name] += 1
 
+    def tally(self, name: str, n: int = 1) -> None:
+        """Unitless event counter — kept OUT of the seconds-keyed timers so
+        a summary never mixes units (VERDICT r2: tracking_iters accumulated
+        as seconds printed a nonsense mean_ms)."""
+        self.tallies[name] += int(n)
+
+    def snapshot(self) -> tuple:
+        """Cheap copy of the running totals; pair with `delta_summary` to
+        report a bounded window (e.g. the bench's steady-state segment)
+        without the warmup/init-BA frames polluting the means."""
+        return (dict(self.total), dict(self.count), dict(self.tallies))
+
+    def delta_summary(self, snap: tuple) -> Dict[str, dict]:
+        """Summary of activity since `snapshot()` (window-only split)."""
+        t0, c0, y0 = snap
+        out: Dict[str, dict] = {}
+        for name in sorted(self.total):
+            dt = self.total[name] - t0.get(name, 0.0)
+            dc = self.count[name] - c0.get(name, 0)
+            if dc or dt > 1e-9:
+                out[name] = {
+                    "total_s": round(dt, 4),
+                    "count": dc,
+                    "mean_ms": round(1000.0 * dt / max(dc, 1), 3),
+                }
+        for name in sorted(self.tallies):
+            dy = self.tallies[name] - y0.get(name, 0)
+            if dy:
+                out[name] = {"count": dy}
+        return out
+
     def summary(self) -> Dict[str, dict]:
-        return {
+        out = {
             name: {
                 "total_s": round(self.total[name], 4),
                 "count": self.count[name],
@@ -41,6 +73,9 @@ class PhaseTimers:
             }
             for name in sorted(self.total)
         }
+        for name in sorted(self.tallies):
+            out[name] = {"count": self.tallies[name]}
+        return out
 
 
 class MetricsLogger:

@@ -95,10 +95,47 @@ class TestTrackingCapacityTiers:
         slam.stop()
 
 
+class TestSingleThreadFlags:
+    """The reference has TWO same-named flags (SURVEY.md §2.14):
+    Training.single_thread (frontend backpressure, slam_frontend.py:55) and
+    Dataset.single_thread (backend serialization at mapping_itr_num
+    iters/kf, slam_backend.py:61-65). The `_sp` Replica configs set only
+    the Dataset one."""
+
+    def test_sp_config_serializes_backend(self):
+        from monogs_dev_tpu.core.system import resolve_thread_flags
+
+        sp = load_config(
+            os.path.join(REPO, "configs/rgbd/replica/office0_sp.yaml")
+        )
+        mp = load_config(
+            os.path.join(REPO, "configs/rgbd/replica/office0.yaml")
+        )
+        # Replica base sets the frontend flag for BOTH variants; only _sp
+        # sets the backend flag
+        assert resolve_thread_flags(sp) == (True, True)
+        assert resolve_thread_flags(mp) == (True, False)
+
+    def test_backend_flag_selects_direct_mode(self):
+        # Dataset.single_thread -> schedulerless direct mode, where
+        # handle_keyframe runs with single_thread=True (mapping_itr_num
+        # iters/kf, backend.py keyframe handler)
+        slam = SLAM(tiny_config(), save_dir=None)
+        assert slam.backend_single_thread and slam.backend_thread is None
+        slam.stop()
+        cfg = tiny_config(**{"Dataset.single_thread": False})
+        slam = SLAM(cfg, save_dir=None)
+        assert not slam.backend_single_thread
+        assert slam.backend_thread is not None
+        assert slam.backend_thread.single_thread is False
+        slam.stop()
+
+
 class TestThreadedMode:
     def test_frontend_backend_threads(self):
         cfg = tiny_config()
         cfg["Training"]["single_thread"] = False
+        cfg["Dataset"]["single_thread"] = False
         slam = SLAM(cfg, save_dir=None)
         assert slam.backend_thread is not None
         slam.run(max_frames=8)

@@ -43,6 +43,7 @@ for idle_iters, idle_every in GRID:
     cfg = load_config(CONFIG)
     cfg["Results"]["save_results"] = False
     cfg["Training"]["single_thread"] = False  # threaded pump path
+    cfg["Dataset"]["single_thread"] = False  # backend flag (non-serialized)
     cfg["TPU"]["idle_iters"] = idle_iters
     cfg["TPU"]["idle_every"] = idle_every
     slam = SLAM(cfg, save_dir=None)
