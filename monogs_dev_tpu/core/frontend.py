@@ -222,10 +222,10 @@ class FrontEnd:
         # smaller for most of a run. Tracking is read-only over the map, and
         # `insert_points` always fills the lowest free slots, so active rows
         # stay within a low prefix; tracking runs on the smallest tier
-        # prefix that covers the snapshot's high-water mark. Two tiers keep
-        # it to two compiled tracking programs.
+        # prefix that covers the snapshot's high-water mark.
         cap = engine.capacity
-        # three tiers: cap/4, cap/2, cap — the bench map's high-water sits
+        # three tiers (= three compiled tracking programs): cap/4, cap/2,
+        # cap — the bench map's high-water sits
         # between cap/4 and cap/2 for most of a mono run (9.6k inserts per
         # keyframe), and per-iteration tracking cost scales with the static
         # tier (projection rows + binning sort keys), so the middle tier
@@ -590,8 +590,7 @@ class FrontEnd:
             if self.timers is not None:
                 self.timers.total["tracking"] += time.time() - t_ph
                 self.timers.count["tracking"] += 1
-                self.timers.total["tracking_iters"] += int(track.n_iters)
-                self.timers.count["tracking_iters"] += 1
+                self.timers.tally("tracking_iters", int(track.n_iters))
             if self.metrics is not None:
                 self.metrics.log(
                     {
@@ -691,6 +690,13 @@ class FrontEnd:
                     Log(
                         f"raster tile-list overflow: {overflow} entries "
                         f"dropped (raise TPU.max_per_tile)", tag="MonoGS-TPU",
+                    )
+                compact_dropped = int(track.compact_dropped)
+                if compact_dropped > 0:
+                    Log(
+                        f"tracking working-set overflow: {compact_dropped} "
+                        f"binned gaussians dropped (raise TPU.track_compact)",
+                        tag="MonoGS-TPU",
                     )
                 t_ph = time.time()
                 depth_map = self.make_keyframe_depth(image, depth, track)

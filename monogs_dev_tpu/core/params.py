@@ -37,6 +37,13 @@ class StepConfig:
     # borders as the pose moves (was tolerable with loose radius boxes).
     rebin_every: int = 8
     rebin_dilation: float = 4.0
+    # TPU tracking working-set compaction: once per rebin, gather the <=
+    # track_compact Gaussians that actually have tile entries and run every
+    # iteration of the reuse window on those rows only (projection + VJP +
+    # props gather shrink from the capacity tier to the visible set). 0
+    # disables; bit-exact when nothing is dropped (ops/rasterize.py
+    # compact_binning); drops are surfaced via TrackResult.compact_dropped.
+    track_compact: int = 16384
     # mapping reuses per-slot binnings for a whole chunk dispatch
     # (core/mapping.py); same drift-margin idea
     mapping_rebin_dilation: float = 4.0
@@ -79,6 +86,9 @@ class StepConfig:
             ),
             plateau_iters=int(training.get("tracking_plateau_iters", 0)),
             plateau_rel_tol=float(training.get("tracking_plateau_rel_tol", 1e-4)),
+            track_compact=int(
+                (config.get("TPU", {}) or {}).get("track_compact", 16384)
+            ),
             edge_threshold=float(training.get("edge_threshold", 1.1)),
             per_block_mask=config["Dataset"].get("type") == "replica",
         )

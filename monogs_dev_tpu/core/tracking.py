@@ -28,7 +28,12 @@ from ..models.camera import Intrinsics
 from ..models.gaussians import GaussianParams
 from ..ops.project import project_gaussians
 from ..ops.raster_types import RasterConfig
-from ..ops.rasterize import build_binning, render_binned, render_tiled
+from ..ops.rasterize import (
+    build_binning,
+    compact_binning,
+    render_binned,
+    render_tiled,
+)
 from ..utils.losses import compute_grad_mask, tracking_loss, median_depth
 from .params import StepConfig
 
@@ -48,6 +53,7 @@ class TrackResult(NamedTuple):
     median_depth: jnp.ndarray  # ()
     dup_overflow: jnp.ndarray  # () binning telemetry from the final render
     tile_overflow: jnp.ndarray  # ()
+    compact_dropped: jnp.ndarray  # () max working-set drop over rebinnings
 
 
 class _Carry(NamedTuple):
@@ -60,6 +66,7 @@ class _Carry(NamedTuple):
     converged: jnp.ndarray
     best_loss: jnp.ndarray  # () running best for the plateau exit
     stall: jnp.ndarray  # () iterations without relative improvement
+    compact_dropped: jnp.ndarray  # () max working-set overflow (telemetry)
 
 
 def _halve_image(x: jnp.ndarray) -> jnp.ndarray:
@@ -147,9 +154,11 @@ def track_frame(
             m_pad.reshape(ty_n, tile, tx_n, tile).any(axis=(1, 3)).reshape(-1)
         )
 
-        def loss_fn(tau, exp_ab, T, binning):
+        def loss_fn(tau, exp_ab, T, binning, params_x, active_x):
             T_new = se3_exp(tau) @ T
-            proj = project_gaussians(params, active, T_new, intr_l, cfg.sh_degree)
+            proj = project_gaussians(
+                params_x, active_x, T_new, intr_l, cfg.sh_degree
+            )
             out = render_binned(
                 proj, proj.means2d, binning, intr_l, bg_color, raster_cfg,
                 need_touched=False, tile_mask=tile_mask,
@@ -172,8 +181,10 @@ def track_frame(
         def not_done(c: _Carry):
             return (c.itr < max_iters) & ~c.converged
 
-        def body(c: _Carry, binning) -> _Carry:
-            loss, (g_tau, g_exp) = grad_fn(jnp.zeros(6), c.exp_ab, c.T, binning)
+        def body(c: _Carry, binning, params_x, active_x) -> _Carry:
+            loss, (g_tau, g_exp) = grad_fn(
+                jnp.zeros(6), c.exp_ab, c.T, binning, params_x, active_x
+            )
             g = jnp.concatenate([g_tau, g_exp])
             count = c.count + 1
             mu = _ADAM_B1 * c.mu + (1.0 - _ADAM_B1) * g
@@ -197,7 +208,8 @@ def track_frame(
             else:
                 stall, best = c.stall, c.best_loss
             return _Carry(
-                T_new, exp_new, mu, nu, count, c.itr + 1, converged, best, stall
+                T_new, exp_new, mu, nu, count, c.itr + 1, converged, best,
+                stall, c.compact_dropped,
             )
 
         def outer_body(c: _Carry) -> _Carry:
@@ -209,13 +221,31 @@ def track_frame(
             binning = build_binning(
                 proj, intr_l, raster_cfg, dilate=cfg.rebin_dilation
             )
+            n = active.shape[0]
+            m = cfg.track_compact
+            if 0 < m < n:
+                # compact the iteration working set to the <= m Gaussians
+                # with tile entries: every per-iteration tensor (projection
+                # rows incl. their VJP, props gather) shrinks from the
+                # capacity tier to the visible set. Bit-exact when nothing
+                # is dropped (compact_binning docstring); drops are counted.
+                sel, binning, dropped = compact_binning(binning, n, m)
+                sel_c = jnp.clip(sel, 0, n - 1)
+                params_x = jax.tree.map(lambda x: x[sel_c], params)
+                active_x = active[sel_c] & (sel < n)
+            else:
+                params_x, active_x = params, active
+                dropped = jnp.zeros((), jnp.int32)
+            c = c._replace(
+                compact_dropped=jnp.maximum(c.compact_dropped, dropped)
+            )
             start_itr = c.itr
 
             def inner_cond(ci: _Carry):
                 return not_done(ci) & (ci.itr < start_itr + cfg.rebin_every)
 
             return jax.lax.while_loop(
-                inner_cond, lambda ci: body(ci, binning), c
+                inner_cond, lambda ci: body(ci, binning, params_x, active_x), c
             )
 
         return jax.lax.while_loop(not_done, outer_body, carry)
@@ -254,6 +284,7 @@ def track_frame(
         converged=jnp.zeros((), bool),
         best_loss=jnp.asarray(jnp.inf),
         stall=jnp.zeros((), jnp.int32),
+        compact_dropped=jnp.zeros((), jnp.int32),
     )
     total_iters = jnp.zeros((), jnp.int32)
     for li, (img_l, dep_l, msk_l, intr_l, max_iters) in enumerate(levels):
@@ -288,4 +319,5 @@ def track_frame(
         median_depth=med,
         dup_overflow=out.dup_overflow,
         tile_overflow=out.tile_overflow,
+        compact_dropped=final.compact_dropped,
     )

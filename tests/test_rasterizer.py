@@ -310,3 +310,101 @@ class TestTileMaskSkip:
         np.testing.assert_allclose(
             np.asarray(g_full), np.asarray(g_skip), atol=1e-5
         )
+
+
+class TestCompactBinning:
+    """Working-set compaction (ops/rasterize.py compact_binning): the
+    tracking loop's per-iteration tensors shrink to the binned set. Must be
+    bit-exact when nothing is dropped, and count drops when m is too small."""
+
+    def _setup(self, n=80, pad_inactive=40):
+        import jax.tree_util as jtu
+
+        from monogs_dev_tpu.ops.project import project_gaussians
+        from monogs_dev_tpu.ops.rasterize import build_binning
+
+        params, active = make_scene(n)
+        # pad with inactive rows so the working set << row count
+        params = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x, jnp.zeros((pad_inactive,) + x.shape[1:], x.dtype)]
+            ),
+            params,
+        )
+        active = jnp.concatenate([active, jnp.zeros((pad_inactive,), bool)])
+        proj = project_gaussians(params, active, jnp.eye(4), INTR, 0)
+        binning = build_binning(proj, INTR, CFG)
+        return params, active, proj, binning
+
+    def test_bit_exact_when_not_dropping(self):
+        from monogs_dev_tpu.ops.project import project_gaussians
+        from monogs_dev_tpu.ops.rasterize import compact_binning, render_binned
+
+        params, active, proj, binning = self._setup()
+        n = active.shape[0]
+        bg = jnp.array([0.05, 0.1, 0.15])
+        full = render_binned(
+            proj, proj.means2d, binning, INTR, bg, CFG, need_touched=False
+        )
+        m = 96
+        sel, binning_c, dropped = jax.jit(
+            lambda b: compact_binning(b, n, m)
+        )(binning)
+        assert int(dropped) == 0
+        sel_c = jnp.clip(sel, 0, n - 1)
+        params_c = jax.tree.map(lambda x: x[sel_c], params)
+        active_c = active[sel_c] & (sel < n)
+        proj_c = project_gaussians(params_c, active_c, jnp.eye(4), INTR, 0)
+        out = render_binned(
+            proj_c, proj_c.means2d, binning_c, INTR, bg, CFG,
+            need_touched=False,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.color), np.asarray(full.color)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.depth), np.asarray(full.depth)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.alpha), np.asarray(full.alpha)
+        )
+
+    def test_pose_gradient_identical(self):
+        from monogs_dev_tpu.geometry import se3_exp
+        from monogs_dev_tpu.ops.project import project_gaussians
+        from monogs_dev_tpu.ops.rasterize import compact_binning, render_binned
+
+        params, active, proj, binning = self._setup()
+        n = active.shape[0]
+        m = 96
+        sel, binning_c, _ = compact_binning(binning, n, m)
+        sel_c = jnp.clip(sel, 0, n - 1)
+        params_c = jax.tree.map(lambda x: x[sel_c], params)
+        active_c = active[sel_c] & (sel < n)
+        target = jnp.full((INTR.height, INTR.width, 3), 0.4)
+
+        def loss(tau, p, a, b):
+            T = se3_exp(tau) @ jnp.eye(4)
+            pr = project_gaussians(p, a, T, INTR, 0)
+            out = render_binned(
+                pr, pr.means2d, b, INTR, jnp.zeros(3), CFG, need_touched=False
+            )
+            return jnp.abs(out.color - target).mean()
+
+        g_full = jax.grad(loss)(jnp.zeros(6), params, active, binning)
+        g_comp = jax.grad(loss)(jnp.zeros(6), params_c, active_c, binning_c)
+        # identical per-gaussian terms; only the row-reduction tree differs
+        # (96 vs 120 rows), so agreement is to float reassociation
+        np.testing.assert_allclose(
+            np.asarray(g_comp), np.asarray(g_full), rtol=3e-5, atol=1e-8
+        )
+
+    def test_overflow_counted(self):
+        from monogs_dev_tpu.ops.rasterize import compact_binning
+
+        params, active, proj, binning = self._setup()
+        n = active.shape[0]
+        n_binned = int((binning.pos_table < binning.idx_table.size).any(axis=1).sum())
+        m = max(n_binned - 5, 1)
+        _, _, dropped = compact_binning(binning, n, m)
+        assert int(dropped) == n_binned - m

@@ -123,6 +123,64 @@ def _cumprods_roll(x, chunk):
     return incl, excl
 
 
+def _make_storew_kernel(tile: int, tx_n: int, l_max: int,
+                        alpha_clamp: float, alpha_min: float, t_min: float):
+    """Forward with NO live accumulators: per-chunk weights w are STORED to
+    a VMEM scratch (l_max, P) — the loop carry is only t_run (1, P), the
+    structure that makes the backward kernel fast — and the five weighted
+    output sums happen ONCE after the loop as a single (5, L) @ (L, P) MXU
+    contraction (off the serial chain, unlike the rejected per-chunk MXU
+    variants)."""
+    p = tile * tile
+
+    def kernel(counts_sp, props_ref, color_ref, depth_ref, alpha_ref, w_ref):
+        i = pl.program_id(0)
+        ox = ((i % tx_n) * tile).astype(jnp.float32)
+        oy = ((i // tx_n) * tile).astype(jnp.float32)
+        l = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+        px = ox + (l % tile).astype(jnp.float32)
+        py = oy + (l // tile).astype(jnp.float32)
+        count = counts_sp[i]
+        n_chunks = (count + CHUNK - 1) // CHUNK
+        w_ref[:] = jnp.zeros((l_max, p), jnp.float32)
+
+        def body(k, t_run):
+            chunk = props_ref[0, pl.ds(k * CHUNK, CHUNK), :]
+            mu_x = chunk[:, 0:1]
+            mu_y = chunk[:, 1:2]
+            ca = chunk[:, 2:3]
+            cb = chunk[:, 3:4]
+            cc = chunk[:, 4:5]
+            opa = chunk[:, 8:9]
+            dx = px - mu_x
+            dy = py - mu_y
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            alpha = jnp.minimum(alpha_clamp, opa * jnp.exp(power))
+            alpha = jnp.where((power > 0.0) | (alpha < alpha_min), 0.0, alpha)
+            incl, excl = _cumprods_roll(1.0 - alpha, CHUNK)
+            t_in = t_run * excl
+            w = jnp.where(t_in >= t_min, alpha * t_in, 0.0)
+            w_ref[pl.ds(k * CHUNK, CHUNK), :] = w
+            return t_run * incl[CHUNK - 1 : CHUNK, :]
+
+        jax.lax.fori_loop(0, n_chunks, body, jnp.ones((1, p), jnp.float32))
+        # one off-chain contraction: f (5, L) = [r g b z 1]^T per entry
+        props = props_ref[0]  # (L, D)
+        f = jnp.concatenate(
+            [props[:, 5:8], props[:, 9:10], jnp.ones((l_max, 1), jnp.float32)],
+            axis=1,
+        )  # (L, 5)
+        acc = jax.lax.dot_general(
+            f, w_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (5, P)
+        color_ref[0] = acc[0:3]
+        depth_ref[0] = acc[3:4]
+        alpha_ref[0] = acc[4:5]
+
+    return kernel
+
+
 def _make_kernel(variant: str, tile: int, tx_n: int, l_max: int,
                  alpha_clamp: float, alpha_min: float, t_min: float):
     p = tile * tile
@@ -192,6 +250,18 @@ def _make_kernel(variant: str, tile: int, tx_n: int, l_max: int,
             alpha_ref[0] = acc[:, 4:5].T
             return
 
+        acc_rows = 8 if variant == "acc8" else CHUNK
+
+        def red_rows(x):
+            """(CHUNK, P) -> (acc_rows, P) partial sublane reduction."""
+            if acc_rows == CHUNK:
+                return x
+            s = CHUNK // 2
+            while s >= acc_rows:
+                x = x + pltpu.roll(x, shift=s, axis=0)
+                s //= 2
+            return x[0:acc_rows, :]
+
         def body(k, carry):
             t_run, cr, cg, cb_, d_acc, w_acc = carry
             chunk = props_ref[0, pl.ds(k * CHUNK, CHUNK), :]
@@ -214,15 +284,15 @@ def _make_kernel(variant: str, tile: int, tx_n: int, l_max: int,
             t_in = t_run * excl
             w = jnp.where(t_in >= t_min, alpha * t_in, 0.0)
             col = chunk[:, 5:8]
-            cr = cr + w * col[:, 0:1]
-            cg = cg + w * col[:, 1:2]
-            cb_ = cb_ + w * col[:, 2:3]
-            d_acc = d_acc + w * chunk[:, 9:10]
-            w_acc = w_acc + w
+            cr = cr + red_rows(w * col[:, 0:1])
+            cg = cg + red_rows(w * col[:, 1:2])
+            cb_ = cb_ + red_rows(w * col[:, 2:3])
+            d_acc = d_acc + red_rows(w * chunk[:, 9:10])
+            w_acc = w_acc + red_rows(w)
             t_run = t_run * incl_last
             return t_run, cr, cg, cb_, d_acc, w_acc
 
-        zc = jnp.zeros((CHUNK, p), jnp.float32)
+        zc = jnp.zeros((acc_rows, p), jnp.float32)
         t_run, cr, cg, cb_, d_acc, w_acc = jax.lax.fori_loop(
             0, n_chunks, body, (jnp.ones((1, p), jnp.float32), zc, zc, zc, zc, zc)
         )
@@ -250,7 +320,16 @@ def variant_blend(variant, props, counts, tx_n, tile, alpha_clamp=0.99,
         )
         l_max += pad
     p = tile * tile
-    kernel = _make_kernel(variant, tile, tx_n, l_max, alpha_clamp, alpha_min, t_min)
+    scratch = []
+    if variant == "storew":
+        kernel = _make_storew_kernel(
+            tile, tx_n, l_max, alpha_clamp, alpha_min, t_min
+        )
+        scratch = [pltpu.VMEM((l_max, p), jnp.float32)]
+    else:
+        kernel = _make_kernel(
+            variant, tile, tx_n, l_max, alpha_clamp, alpha_min, t_min
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t,),
@@ -260,6 +339,7 @@ def variant_blend(variant, props, counts, tx_n, tile, alpha_clamp=0.99,
             pl.BlockSpec((1, 1, p), lambda i, c: (i, 0, 0)),
             pl.BlockSpec((1, 1, p), lambda i, c: (i, 0, 0)),
         ],
+        scratch_shapes=scratch,
     )
     color, depth, alpha = pl.pallas_call(
         kernel,
