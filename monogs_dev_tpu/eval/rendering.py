@@ -90,6 +90,21 @@ def eval_rendering(
         f'lpips: {output["mean_lpips"]}',
         tag="Eval",
     )
+    if lpipss and lpips_backend != "alexnet-lpips-v0.1":
+        # fail LOUDLY, not just a tag: values from a random backbone must
+        # never be quoted against published LPIPS numbers (the reference
+        # reports canonical AlexNet-LPIPS, eval_utils.py:130-132). The
+        # value stays in the JSON under its backend tag; the comparable
+        # field is withheld.
+        Log(
+            "WARNING: LPIPS ran on the NON-CANONICAL random backbone "
+            f"('{lpips_backend}'); values are not comparable to published "
+            "LPIPS. Install the v0.1 weights npz (tools/export_lpips_npz.py"
+            " or $MONOGS_LPIPS_WEIGHTS) for canonical numbers.",
+            tag="Eval",
+        )
+        output["mean_lpips_noncanonical"] = output.pop("mean_lpips")
+        output["mean_lpips"] = None
     if save_dir is not None:
         psnr_save_dir = os.path.join(save_dir, "psnr", str(iteration))
         os.makedirs(psnr_save_dir, exist_ok=True)
