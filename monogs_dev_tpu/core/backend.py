@@ -160,6 +160,15 @@ class BackendEngine:
         # process — time-sliced on one chip this is a budget knob)
         self.idle_iters = int(tpu_grp.get("idle_iters", 1))
         self.idle_every = int(tpu_grp.get("idle_every", 1))  # frames/round
+        # data-parallel mapping over a device mesh (TPU.mesh_devices > 1):
+        # map replicated, window+random keyframe slots sharded, map grads
+        # psum over ICI (parallel/mesh.py). Steady-state rounds dispatch the
+        # DP step; bootstrap (init BA, uninitialized) stays single-device.
+        self.mesh_devices = int(tpu_grp.get("mesh_devices", 0))
+        self._dp_step = None
+        self._dp_state = None
+        if self.mesh_devices > 1:
+            self._init_dp()
 
         self.rng = jax.random.PRNGKey(seed)
         self.np_rng = np.random.default_rng(seed)
@@ -439,6 +448,27 @@ class BackendEngine:
         if frames_to_optimize is None:
             frames_to_optimize = self.pose_window
 
+        if self._dp_step is not None and not init_mode and self.initialized:
+            last_batch, slot_ids = self._map_dp(iters, frames_to_optimize)
+        else:
+            last_batch, slot_ids = self._map_single(
+                iters, init_mode, frames_to_optimize
+            )
+
+        if last_batch is not None and harvest:
+            self._harvest_tail(last_batch, slot_ids)
+
+        if prune and len(self.current_window) == self.window_size:
+            with DEVICE_LOCK:
+                self._visibility_prune()
+            if not self.initialized:
+                self.initialized = True
+                Log("Initialized SLAM")
+
+    def _map_single(
+        self, iters: int, init_mode: bool, frames_to_optimize: int
+    ):
+        """Single-device chunk-dispatched mapping round (the default path)."""
         if init_mode:
             update_every, update_offset = self.init_gaussian_update, 1
             reset_interval = self.init_gaussian_reset
@@ -531,30 +561,131 @@ class BackendEngine:
                     (last_batch.T_w2c, last_batch.exposure)
                 )
                 self._writeback_np(T_np, exp_np, slot_ids)
+        return last_batch, slot_ids
 
-        if last_batch is not None and harvest:
-            with DEVICE_LOCK:
-                visibility = harvest_visibility(
-                    self.gmap, last_batch, self.bg_color, self.cfg, self.intr,
-                    self.raster_cfg,
+    def _harvest_tail(self, last_batch, slot_ids: list) -> None:
+        """Refresh occ-aware visibility from the round's final poses."""
+        with DEVICE_LOCK:
+            visibility = harvest_visibility(
+                self.gmap, last_batch, self.bg_color, self.cfg, self.intr,
+                self.raster_cfg,
+            )
+            visibility = np.asarray(visibility)
+        for s, kf_idx in enumerate(slot_ids):
+            if s < len(self.current_window):
+                self.occ_aware_visibility[kf_idx] = visibility[s]
+        self.occ_aware_visibility = {
+            k: v
+            for k, v in self.occ_aware_visibility.items()
+            if k in set(self.current_window)
+        }
+
+    # ------------------------------------------------------- DP mapping path
+
+    def _init_dp(self) -> None:
+        """Build the mesh + jitted DP mapping step (TPU.mesh_devices)."""
+        from ..parallel import dp_mapping_step, make_mesh
+
+        n = self.mesh_devices
+        self.mesh = make_mesh(n)
+        # slot count padded to a multiple of the mesh size; extra slots ride
+        # along with valid=False (loss masked to zero inside the step)
+        self._dp_slots = -(-self.cfg.window_slots // n) * n
+        self._dp_step = dp_mapping_step(
+            self.mesh,
+            self.cfg,
+            self.opt_cfg,
+            self.intr,
+            self.raster_cfg,
+            use_depth=self.use_depth,
+            update_every=self.gaussian_update_every,
+            update_offset=self.gaussian_update_offset,
+            size_threshold=self.size_threshold,
+        )
+        Log(
+            f"DP mapping enabled: {n}-device mesh, {self._dp_slots} slots",
+            tag="MonoGS-TPU",
+        )
+
+    def _map_dp(self, iters: int, frames_to_optimize: int):
+        """Data-parallel mapping round: one dp_mapping_step per iteration
+        over the mesh (parallel/mesh.py:96-294) — keyframe slots sharded,
+        map replicated, grads psum'd over ICI.
+
+        Cadence parity with _map_single: densify fires inside the step at
+        the reference's update_every/update_offset; the opacity reset of
+        non-visible Gaussians (slam_backend.py:300-305) is applied between
+        steps when the iteration counter crosses the gaussian_reset
+        boundary, using the same occ-visibility harvest as the prune path.
+        Bootstrap (init BA) never routes here — see map()."""
+        from ..models.gaussians import reset_opacity_nonvisible
+        from ..parallel import DPBatch, make_dp_opt_state, shard_batch
+
+        b = self._dp_slots
+        dropped_acc = []
+        with DEVICE_LOCK:
+            kb, slot_ids = self._build_batch(
+                apply_exposure=True,
+                frames_to_optimize=frames_to_optimize,
+                b=b,
+            )
+            batch = shard_batch(
+                self.mesh,
+                DPBatch(
+                    images=kb.images,
+                    depths=kb.depths,
+                    T_w2c=jnp.asarray(kb.T_w2c),
+                    exposure=jnp.asarray(kb.exposure),
+                    valid=jnp.asarray(kb.valid),
+                    optimize_pose=jnp.asarray(kb.optimize_pose),
+                    optimize_exposure=jnp.asarray(kb.optimize_exposure),
+                ),
+            )
+            if self._dp_state is None or self._dp_state.mu.shape[0] != b:
+                self._dp_state = make_dp_opt_state(b)
+            opt = self._dp_state
+            gmap = self.gmap
+            for _ in range(int(iters)):
+                it_next = self.iteration_count + 1
+                do_update = (
+                    it_next % self.gaussian_update_every
+                ) == self.gaussian_update_offset
+                if (it_next % self.gaussian_reset) == 0 and not do_update:
+                    kb_now = kb._replace(
+                        T_w2c=batch.T_w2c, exposure=batch.exposure
+                    )
+                    vis = harvest_visibility(
+                        gmap, kb_now, self.bg_color, self.cfg, self.intr,
+                        self.raster_cfg,
+                    )
+                    vis_union = (
+                        vis & jnp.asarray(kb.harvest_visibility)[:, None]
+                    ).any(axis=0)
+                    gmap = reset_opacity_nonvisible(gmap, vis_union, 0.4)
+                gmap, batch, opt, loss, dropped = self._dp_step(
+                    gmap,
+                    batch,
+                    opt,
+                    jnp.asarray(self.iteration_count, jnp.int32),
+                    self._split_rng(),
+                    jnp.float32(self.gaussian_th),
+                    jnp.float32(self.gaussian_extent),
                 )
-                visibility = np.asarray(visibility)
-            # refresh occ-aware visibility from the last iteration
-            for s, kf_idx in enumerate(slot_ids):
-                if s < len(self.current_window):
-                    self.occ_aware_visibility[kf_idx] = visibility[s]
-            self.occ_aware_visibility = {
-                k: v
-                for k, v in self.occ_aware_visibility.items()
-                if k in set(self.current_window)
-            }
-
-        if prune and len(self.current_window) == self.window_size:
-            with DEVICE_LOCK:
-                self._visibility_prune()
-            if not self.initialized:
-                self.initialized = True
-                Log("Initialized SLAM")
+                self.iteration_count += 1
+                dropped_acc.append(dropped)
+            self.gmap = gmap
+            self._dp_state = opt
+            T_np, exp_np = jax.device_get((batch.T_w2c, batch.exposure))
+            self._writeback_np(T_np, exp_np, slot_ids)
+            if dropped_acc:
+                self.telemetry["densify_dropped"] += int(
+                    np.sum(jax.device_get(dropped_acc))
+                )
+            self.telemetry["map_iters"] += int(iters)
+            self.telemetry["map_chunks"] += 1
+        # harvest tail expects a KeyframeBatch at the optimized poses
+        last_batch = kb._replace(T_w2c=batch.T_w2c, exposure=batch.exposure)
+        return last_batch, slot_ids
 
     @staticmethod
     def _next_map_event(

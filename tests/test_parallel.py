@@ -265,3 +265,46 @@ def test_dp_refinement_converges_and_replicates(mesh8):
     shards = [np.asarray(s.data) for s in gmap.params.f_dc.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+class TestEngineDPPath:
+    """TPU.mesh_devices wires dp_mapping_step into the PRODUCT
+    (core/backend.py _map_dp): a short synthetic SLAM sequence on a
+    4-device mesh must track as well as the single-device path
+    (VERDICT r2 next-round #5)."""
+
+    def _run(self, mesh_devices: int) -> float:
+        import os
+
+        from monogs_dev_tpu.core.system import SLAM
+        from monogs_dev_tpu.eval.ate import eval_ate
+        from monogs_dev_tpu.utils.config import load_config
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg = load_config(
+            os.path.join(repo, "configs/synthetic/tiny_rgbd.yaml")
+        )
+        cfg["Results"]["save_results"] = False
+        if mesh_devices:
+            cfg["TPU"]["mesh_devices"] = mesh_devices
+        slam = SLAM(cfg, save_dir=None)
+        if mesh_devices:
+            assert slam.engine._dp_step is not None
+        slam.run(max_frames=12)
+        fe = slam.frontend
+        assert len(fe.kf_indices) >= 1
+        ate = eval_ate(
+            fe.cameras, fe.kf_indices, None, 0, final=True,
+            monocular=slam.monocular,
+        )
+        slam.stop()
+        return float(ate)
+
+    def test_dp_matches_single_device_ate(self):
+        ate_dp = self._run(mesh_devices=4)
+        ate_single = self._run(mesh_devices=0)
+        assert np.isfinite(ate_dp) and np.isfinite(ate_single)
+        # same scene, same budgets: DP must land in the same accuracy
+        # regime (not bitwise — reduction orders and the DP path's
+        # round-level cadence differ)
+        assert ate_dp < max(3.0 * ate_single, 0.02), (ate_dp, ate_single)
