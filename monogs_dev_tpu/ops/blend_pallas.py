@@ -14,6 +14,21 @@ on a data-dependent cond) — the CUDA rasterizer's early-out, which the
 dense XLA formulation cannot express. The effective chunk count is stored
 so the backward replays exactly the chunks that could have contributed.
 
+STRUCTURE (round-3 rework, measured in tools/kernel_lab.py on v5e at
+counts mean 142/tile, VGA):
+
+- N_STREAMS tiles per program, processed as INDEPENDENT interleaved
+  instruction streams. The per-chunk work is a serial dependency chain
+  (alpha -> log-rounds of cumprod -> transmittance update) whose op
+  latencies the VPU cannot hide within one stream — the kernel is
+  latency-bound, not throughput- or spill-bound (nocond 3.04 ms vs base
+  3.28 ms; acc8 3.05 ms; storew 3.47 ms; base 3.24 -> pair2 2.69 ms).
+  A second tile's stream pipelines under the first's latencies.
+- Per-chunk contributions are reduced to (ACC_ROWS, P) partial sums
+  before accumulating (2 roll-adds), so live accumulator state is 20
+  vregs for both streams instead of 80 — large live carries measured
+  progressively worse as chunk width grows (nocond@64: 5.29 ms).
+
 Transmittance is tracked multiplicatively (cumulative products by
 log-rounds of `pltpu.roll`), not in log space: one transcendental
 (exp(power)) per gaussian-pixel instead of three.
@@ -28,7 +43,9 @@ cuda_rasterizer/backward.cu structure, re-derived): transmittance is
 recovered by dividing out the chunk products from the back, and suffix
 accumulators S = sum_{j>i} w_j (f_j . gF) produce d(alpha) without storing
 per-entry weights. f packs [color(3), depth, 1] so color/depth/alpha-map
-cotangents share one path.
+cotangents share one path. The backward pairs streams the same way; a
+stream whose effective chunk count is shorter is masked (its carries
+frozen) while its partner finishes.
 
 The differentiable hot-loop kernel does NOT emit n_touched (the hot loops
 don't need it; the reference's opacity reset keys on radii > 0, not
@@ -37,16 +54,21 @@ occ-aware visibility) use the forward-only `blend_tiles_pallas_touch`
 variant, which additionally writes per-entry contributed-pixel counts —
 the Pallas replacement for the dense XLA blend on those paths.
 
-MEASURED DEAD END (do not retry): offloading the inner loop to the MXU —
-quadratic as coeffs @ [1,X,Y,X²,XY,Y²] in tile-local coords, the five
-weighted output sums as one f8ᵀ @ w contraction, and the backward's five
-lane-reductions as one d_power @ basisᵀ moment matmul — is SLOWER than the
-pure-VPU form: 13.6 ms vs 8.6 ms VJP, 7.4 vs 5.8 ms forward at per-tile
-density 283 on v5e (tools/probe_iter_parts.py). Not a precision artifact
-(DEFAULT vs HIGHEST differs by ~5%): the (32,8)x(8,256) matmuls sit on the
-serial transmittance chain, so their MXU latency adds per chunk instead of
-overlapping. The correctness of that variant was fully test-verified, so
-this is purely a performance rejection.
+MEASURED DEAD ENDS (do not retry):
+- MXU offload of the inner loop (quadratic as coeffs @ monomials, outputs
+  as one f8^T @ w contraction): 13.6 ms vs 8.6 ms VJP — the matmuls sit
+  on the serial transmittance chain, their latency adds per chunk
+  (tools/probe_iter_parts.py; correctness was fully verified).
+- MXU moments backward (all six per-chunk gradient reductions as ONE
+  (3C, P) @ (P, 10) matmul against the local pixel basis): 6.13 ms vs
+  4.25 ms production bwd — same serial-chain latency failure
+  (tools/kernel_lab.py bwdmom; matched production to 3e-4 rel).
+- storew forward (no live accumulators, w stored to VMEM, one final
+  (5, L) @ (L, P) contraction): 3.47 ms vs 3.24 — the loop was never
+  spill-bound.
+- log-space cumprod via triangular MXU matmul (trimat): 3.57 ms.
+- CHUNK=128: 2.96 ms vs CHUNK=64 acc8 2.76 / pair2@32 2.69 — wider ops
+  stop paying once intermediates outgrow the register file.
 """
 
 from __future__ import annotations
@@ -64,6 +86,8 @@ from jax.experimental.pallas import tpu as pltpu
 D_IN = 10
 CHUNK = 32  # entries processed per inner step (sublane dimension)
 BLOCK = 2  # chunks per saturation check in the forward (unrolled)
+N_STREAMS = 2  # tiles per program, interleaved for latency hiding
+ACC_ROWS = 8  # accumulator partial-sum rows (one sublane group)
 _PAD = CHUNK * BLOCK  # L padding granularity (forward runs whole blocks)
 
 
@@ -87,14 +111,19 @@ def _cumprods(x):
     return incl, excl
 
 
-def _pixel_grid(tile: int, tx_n: int):
-    """(1, tile*tile) pixel coordinates of this program's tile.
+def _red_rows(x):
+    """(CHUNK, P) -> (ACC_ROWS, P) partial sublane reduction (roll-adds)."""
+    s = CHUNK // 2
+    while s >= ACC_ROWS:
+        x = x + pltpu.roll(x, shift=s, axis=0)
+        s //= 2
+    return x[0:ACC_ROWS, :]
 
-    Tile origin derived from program_id; flat pixel index l = ly*tile + lx.
-    """
-    i = pl.program_id(0)
-    ox = ((i % tx_n) * tile).astype(jnp.float32)
-    oy = ((i // tx_n) * tile).astype(jnp.float32)
+
+def _pixel_grid(tile: int, tx_n: int, tid):
+    """(1, tile*tile) pixel coordinates of tile `tid`."""
+    ox = ((tid % tx_n) * tile).astype(jnp.float32)
+    oy = ((tid // tx_n) * tile).astype(jnp.float32)
     l = jax.lax.broadcasted_iota(jnp.int32, (1, tile * tile), 1)
     px = ox + (l % tile).astype(jnp.float32)
     py = oy + (l // tile).astype(jnp.float32)
@@ -119,13 +148,13 @@ def _chunk_alpha(chunk, px, py, alpha_clamp, alpha_min):
 
 def _blend_fwd_kernel(
     counts_sp,  # scalar-prefetch (T,) int32
-    props_ref,  # VMEM (1, L, D_IN)
-    color_ref,  # VMEM (1, 3, P)
-    depth_ref,  # VMEM (1, 1, P)
-    alpha_ref,  # VMEM (1, 1, P)
-    tfinal_ref,  # VMEM (1, 1, P)
-    neff_ref,  # VMEM (1, 8, 128) int32 — effective chunks (broadcast)
-    touch_ref=None,  # VMEM (1, l_max, 8) int32 — only when emit_touch
+    props_ref,  # VMEM (N_STREAMS, L, D_IN)
+    color_ref,  # VMEM (N_STREAMS, 3, P)
+    depth_ref,  # VMEM (N_STREAMS, 1, P)
+    alpha_ref,  # VMEM (N_STREAMS, 1, P)
+    tfinal_ref,  # VMEM (N_STREAMS, 1, P)
+    neff_ref,  # VMEM (N_STREAMS, 8, 128) int32 — effective chunks
+    touch_ref=None,  # VMEM (N_STREAMS, l_max, 8) int32 — when emit_touch
     *,
     tile: int,
     tx_n: int,
@@ -135,30 +164,30 @@ def _blend_fwd_kernel(
     t_min: float,
     emit_touch: bool = False,
 ):
-    """Forward blend, structured for the TPU pipeline:
+    """Forward blend: N_STREAMS independent tile streams per program.
 
-    - the loop is a `fori_loop` over BLOCKs of chunks with the saturation
-      early-exit folded into the trip computation only between blocks (a
-      data-dependent `while_loop` cond per chunk stalled the Mosaic pipeline
-      — measured 6.8 ms vs the backward's 3.9 ms fori_loop on identical
-      work);
-    - per-gaussian weighted sums accumulate at full (CHUNK, P) shape and are
-      reduced across sublanes ONCE after the loop (5 sublane reductions per
-      chunk were ~1/3 of the inner-loop ops).
+    The loop is a `fori_loop` over BLOCKs of chunks; each stream's
+    saturation early-exit only shrinks its effective trip/freezes its
+    carries (a data-dependent `while_loop` cond per chunk stalled the
+    Mosaic pipeline — measured 6.8 ms vs 3.9 ms on identical work), and
+    the block compute is skipped entirely only when EVERY stream is done.
     """
     p = tile * tile
-    px, py = _pixel_grid(tile, tx_n)
-    count = counts_sp[pl.program_id(0)]
-    n_chunks = (count + CHUNK - 1) // CHUNK
-    n_blocks = (n_chunks + BLOCK - 1) // BLOCK
+    i = pl.program_id(0)
+    n = N_STREAMS
+    grids = [_pixel_grid(tile, tx_n, n * i + j) for j in range(n)]
+    counts = [counts_sp[n * i + j] for j in range(n)]
+    n_chunks = [(c + CHUNK - 1) // CHUNK for c in counts]
+    n_blocks = [(nc + BLOCK - 1) // BLOCK for nc in n_chunks]
     if emit_touch:
         # entries live on sublanes (minor dim 8 is lane padding): chunked
-        # dynamic stores are only legal on the sublane dimension (lane-dim
-        # dynamic indices must be 128-multiples, CHUNK is not)
-        touch_ref[0] = jnp.zeros((l_max, 8), jnp.int32)
+        # dynamic stores are only legal on the sublane dimension
+        for j in range(n):
+            touch_ref[j] = jnp.zeros((l_max, 8), jnp.int32)
 
-    def chunk_step(k, t_run, cr_acc, cg_acc, cb_acc, d_acc, w_acc):
-        chunk = props_ref[0, pl.ds(k * CHUNK, CHUNK), :]  # (CHUNK, D)
+    def chunk_step(j, k, t_run, accs, live):
+        chunk = props_ref[j, pl.ds(k * CHUNK, CHUNK), :]  # (CHUNK, D)
+        px, py = grids[j]
         alpha = _chunk_alpha(chunk, px, py, alpha_clamp, alpha_min)
         incl, excl = _cumprods(1.0 - alpha)
         t_in = t_run * excl  # exclusive transmittance
@@ -170,73 +199,106 @@ def _blend_fwd_kernel(
                 axis=1,
                 keepdims=True,
             )  # (CHUNK, 1) pixels touched per entry
-            touch_ref[0, pl.ds(k * CHUNK, CHUNK), :] = jnp.broadcast_to(
+            # gate on stream liveness: a partner-paired stream past its own
+            # chunk count must not record touches
+            cnt = jnp.where(live, cnt, 0)
+            touch_ref[j, pl.ds(k * CHUNK, CHUNK), :] = jnp.broadcast_to(
                 cnt, (CHUNK, 8)
             )
         col = chunk[:, 5:8]  # (CHUNK, 3)
-        cr_acc = cr_acc + w * col[:, 0:1]
-        cg_acc = cg_acc + w * col[:, 1:2]
-        cb_acc = cb_acc + w * col[:, 2:3]
-        d_acc = d_acc + w * chunk[:, 9:10]
-        w_acc = w_acc + w
+        cr, cg, cb, d_acc, w_acc = accs
+        accs = (
+            cr + _red_rows(w * col[:, 0:1]),
+            cg + _red_rows(w * col[:, 1:2]),
+            cb + _red_rows(w * col[:, 2:3]),
+            d_acc + _red_rows(w * chunk[:, 9:10]),
+            w_acc + _red_rows(w),
+        )
         t_run = t_run * incl[CHUNK - 1 : CHUNK, :]
-        return t_run, cr_acc, cg_acc, cb_acc, d_acc, w_acc
+        return t_run, accs
 
     def block_body(blk, carry):
-        nb_eff, t_run, cr, cg, cb, d_acc, w_acc = carry
-        live = (blk < nb_eff) & (jnp.max(t_run) >= t_min)
-        # saturation check once per BLOCK: shrink the effective trip count
-        nb_eff = jnp.where(live, nb_eff, jnp.minimum(nb_eff, blk))
+        nb_eff, t_runs, accs = carry
+        # per-stream saturation: shrink the effective trip count and freeze
+        # that stream's transmittance (tfinal must equal t at its k_eff so
+        # the backward's divide-out recovery starts from the right value)
+        live = [
+            (blk < nb_eff[j]) & (jnp.max(t_runs[j]) >= t_min)
+            for j in range(n)
+        ]
+        nb_eff = tuple(
+            jnp.where(live[j], nb_eff[j], jnp.minimum(nb_eff[j], blk))
+            for j in range(n)
+        )
+        any_live = live[0]
+        for j in range(1, n):
+            any_live = any_live | live[j]
 
         def run(args):
-            t_run, cr, cg, cb, d_acc, w_acc = args
-            for j in range(BLOCK):  # unrolled: zero per-chunk loop overhead
-                t_run, cr, cg, cb, d_acc, w_acc = chunk_step(
-                    blk * BLOCK + j, t_run, cr, cg, cb, d_acc, w_acc
+            t_runs, accs = args
+            t_new = list(t_runs)
+            a_new = list(accs)
+            for jj in range(BLOCK):  # unrolled; streams interleave inside
+                for j in range(n):
+                    t_new[j], a_new[j] = chunk_step(
+                        j, blk * BLOCK + jj, t_new[j], a_new[j], live[j]
+                    )
+            # discard a dead stream's block wholesale: a count-exhausted
+            # (but unsaturated) stream still computes real alphas from its
+            # partner-padded rows; its transmittance must also stay frozen
+            # at its own k_eff for the backward's divide-out recovery
+            t_new = [
+                jnp.where(live[j], t_new[j], t_runs[j]) for j in range(n)
+            ]
+            a_new = [
+                tuple(
+                    jnp.where(live[j], an, ao)
+                    for an, ao in zip(a_new[j], accs[j])
                 )
-            return t_run, cr, cg, cb, d_acc, w_acc
+                for j in range(n)
+            ]
+            return tuple(t_new), tuple(a_new)
 
-        args = (t_run, cr, cg, cb, d_acc, w_acc)
-        args = jax.lax.cond(live, run, lambda a: a, args)
-        return (nb_eff,) + args
+        t_runs, accs = jax.lax.cond(any_live, run, lambda a: a, (t_runs, accs))
+        return nb_eff, t_runs, accs
 
-    zc = jnp.zeros((CHUNK, p), jnp.float32)
+    max_blocks = n_blocks[0]
+    for j in range(1, n):
+        max_blocks = jnp.maximum(max_blocks, n_blocks[j])
+    za = jnp.zeros((ACC_ROWS, p), jnp.float32)
+    one = jnp.ones((1, p), jnp.float32)
     init = (
-        n_blocks,
-        jnp.ones((1, p), jnp.float32),
-        zc,
-        zc,
-        zc,
-        zc,
-        zc,
+        tuple(n_blocks),
+        (one,) * n,
+        (((za,) * 5),) * n,
     )
-    nb_eff, t_run, cr, cg, cb, d_acc, w_acc = jax.lax.fori_loop(
-        0, n_blocks, block_body, init
-    )
-    color_ref[0] = jnp.concatenate(
-        [
-            jnp.sum(cr, axis=0, keepdims=True),
-            jnp.sum(cg, axis=0, keepdims=True),
-            jnp.sum(cb, axis=0, keepdims=True),
-        ],
-        axis=0,
-    )
-    depth_ref[0] = jnp.sum(d_acc, axis=0, keepdims=True)
-    alpha_ref[0] = jnp.sum(w_acc, axis=0, keepdims=True)
-    tfinal_ref[0] = t_run
-    k_eff = jnp.minimum(nb_eff * BLOCK, n_chunks)
-    neff_ref[0] = jnp.full((8, 128), k_eff, jnp.int32)
+    nb_eff, t_runs, accs = jax.lax.fori_loop(0, max_blocks, block_body, init)
+    for j in range(n):
+        cr, cg, cb, d_acc, w_acc = accs[j]
+        color_ref[j] = jnp.concatenate(
+            [
+                jnp.sum(cr, axis=0, keepdims=True),
+                jnp.sum(cg, axis=0, keepdims=True),
+                jnp.sum(cb, axis=0, keepdims=True),
+            ],
+            axis=0,
+        )
+        depth_ref[j] = jnp.sum(d_acc, axis=0, keepdims=True)
+        alpha_ref[j] = jnp.sum(w_acc, axis=0, keepdims=True)
+        tfinal_ref[j] = t_runs[j]
+        k_eff = jnp.minimum(nb_eff[j] * BLOCK, n_chunks[j])
+        neff_ref[j] = jnp.full((8, 128), k_eff, jnp.int32)
 
 
 def _blend_bwd_kernel(
     counts_sp,  # scalar-prefetch (T,) int32 (unused; neff governs)
-    props_ref,  # VMEM (1, L, D_IN)
-    tfinal_ref,  # VMEM (1, 1, P)
-    neff_ref,  # VMEM (1, 8, 128) int32
-    g_color_ref,  # VMEM (1, 3, P)
-    g_depth_ref,  # VMEM (1, 1, P)
-    g_alpha_ref,  # VMEM (1, 1, P)
-    d_props_ref,  # VMEM (1, L, D_IN) output
+    props_ref,  # VMEM (N_STREAMS, L, D_IN)
+    tfinal_ref,  # VMEM (N_STREAMS, 1, P)
+    neff_ref,  # VMEM (N_STREAMS, 8, 128) int32
+    g_color_ref,  # VMEM (N_STREAMS, 3, P)
+    g_depth_ref,  # VMEM (N_STREAMS, 1, P)
+    g_alpha_ref,  # VMEM (N_STREAMS, 1, P)
+    d_props_ref,  # VMEM (N_STREAMS, L, D_IN) output
     *,
     tile: int,
     tx_n: int,
@@ -246,20 +308,28 @@ def _blend_bwd_kernel(
     t_min: float,
 ):
     p = tile * tile
-    px, py = _pixel_grid(tile, tx_n)
-    n_eff = neff_ref[0, 0, 0]
+    i = pl.program_id(0)
+    n = N_STREAMS
+    grids = [_pixel_grid(tile, tx_n, n * i + j) for j in range(n)]
+    n_effs = [neff_ref[j, 0, 0] for j in range(n)]
 
-    d_props_ref[0] = jnp.zeros((l_max, D_IN), jnp.float32)
+    for j in range(n):
+        d_props_ref[j] = jnp.zeros((l_max, D_IN), jnp.float32)
 
     # cotangents: f = [color(3), z, 1]; gF = [gC(3), gD, gA]
-    gC = g_color_ref[0]  # (3, P)
-    gD = g_depth_ref[0]  # (1, P)
-    gA = g_alpha_ref[0]  # (1, P)
+    gC = [g_color_ref[j] for j in range(n)]  # (3, P)
+    gD = [g_depth_ref[j] for j in range(n)]  # (1, P)
+    gA = [g_alpha_ref[j] for j in range(n)]  # (1, P)
 
-    def body(kk, carry):
-        k = n_eff - 1 - kk
-        t_after, s_wsum = carry
-        chunk = props_ref[0, pl.ds(k * CHUNK, CHUNK), :]
+    n_eff_max = n_effs[0]
+    for j in range(1, n):
+        n_eff_max = jnp.maximum(n_eff_max, n_effs[j])
+
+    def stream_step(j, k, t_after, s_wsum):
+        """One back-to-front chunk for stream j; returns new carries and
+        stores d_chunk. Safe for phantom chunks (zero props)."""
+        chunk = props_ref[j, pl.ds(k * CHUNK, CHUNK), :]
+        px, py = grids[j]
         alpha = _chunk_alpha(chunk, px, py, alpha_clamp, alpha_min)
         incl, excl = _cumprods(1.0 - alpha)
         # transmittance at chunk start, recovered by division (alpha is
@@ -274,11 +344,11 @@ def _blend_bwd_kernel(
 
         # dL/dw_i = col_i . gC + z_i * gD + gA   (CHUNK, P)
         dL_dw = (
-            col[:, 0:1] * gC[0:1]
-            + col[:, 1:2] * gC[1:2]
-            + col[:, 2:3] * gC[2:3]
-            + z * gD
-            + gA
+            col[:, 0:1] * gC[j][0:1]
+            + col[:, 1:2] * gC[j][1:2]
+            + col[:, 2:3] * gC[j][2:3]
+            + z * gD[j]
+            + gA[j]
         )
 
         # suffix accumulators: S_i = sum_{j>i} w_j (f_j . gF)
@@ -318,9 +388,10 @@ def _blend_bwd_kernel(
         d_opa = jnp.sum(d_opa_px, axis=1)
         # dL/dcol_i = sum_p w_i gC   -> (CHUNK, 3)
         d_col = jax.lax.dot_general(
-            w, gC, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            w, gC[j], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        d_z = jnp.sum(w * gD, axis=1)
+        d_z = jnp.sum(w * gD[j], axis=1)
 
         d_chunk = jnp.concatenate(
             [
@@ -335,14 +406,32 @@ def _blend_bwd_kernel(
             ],
             axis=1,
         )  # (CHUNK, D_IN)
-        d_props_ref[0, pl.ds(k * CHUNK, CHUNK), :] = d_chunk
+        return t_start, s_wsum + total_wdl, d_chunk
 
-        s_wsum = s_wsum + total_wdl
-        return t_start, s_wsum
+    def body(kk, carry):
+        t_afters, s_wsums = carry
+        t_new = list(t_afters)
+        s_new = list(s_wsums)
+        for j in range(n):
+            # front-aligned shared index: stream j is live while its own
+            # chunk index is within its effective count. A dead stream's
+            # carries are frozen and its store is zeroed (entries past its
+            # k_eff never contributed forward, so their true grad IS zero).
+            k = n_eff_max - 1 - kk
+            live = k < n_effs[j]
+            k_safe = jnp.minimum(k, jnp.maximum(n_effs[j] - 1, 0))
+            t_j, s_j, d_chunk = stream_step(j, k_safe, t_new[j], s_new[j])
+            lv = live  # scalar bool
+            d_props_ref[j, pl.ds(k_safe * CHUNK, CHUNK), :] = jnp.where(
+                lv, d_chunk, jnp.zeros_like(d_chunk)
+            )
+            t_new[j] = jnp.where(lv, t_j, t_new[j])
+            s_new[j] = jnp.where(lv, s_j, s_new[j])
+        return tuple(t_new), tuple(s_new)
 
-    t_after = tfinal_ref[0]  # (1, P)
-    s0 = jnp.zeros((1, p), jnp.float32)
-    jax.lax.fori_loop(0, n_eff, body, (t_after, s0))
+    t_afters = tuple(tfinal_ref[j] for j in range(n))  # (1, P) each
+    s0 = (jnp.zeros((1, p), jnp.float32),) * n
+    jax.lax.fori_loop(0, n_eff_max, body, (t_afters, s0))
 
 
 def _cumsum_sublanes(x):
@@ -355,6 +444,21 @@ def _cumsum_sublanes(x):
     )
 
 
+def _pad_tiles(props, counts):
+    """Pad the tile axis to a multiple of N_STREAMS (zero props/counts)."""
+    t = props.shape[0]
+    t_pad = -(-t // N_STREAMS) * N_STREAMS
+    if t_pad != t:
+        props = jnp.concatenate(
+            [props, jnp.zeros((t_pad - t,) + props.shape[1:], props.dtype)],
+            axis=0,
+        )
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((t_pad - t,), counts.dtype)], axis=0
+        )
+    return props, counts, t
+
+
 def _forward(
     props: jnp.ndarray,  # (T, L, D_IN)
     counts: jnp.ndarray,  # (T,) int32
@@ -365,15 +469,19 @@ def _forward(
     t_min: float,
     emit_touch: bool = False,
 ):
-    t, l_max, _ = props.shape
+    t_in_, l_max, _ = props.shape
     l_in = l_max
     if l_max % _PAD:
         # block-unrolled reads/writes need L to be a CHUNK*BLOCK multiple;
         # padded entries have zero props (zero alpha) beyond every count
         l_max = -(-l_max // _PAD) * _PAD
         props = jnp.concatenate(
-            [props, jnp.zeros((t, l_max - l_in, D_IN), props.dtype)], axis=1
+            [props, jnp.zeros((t_in_, l_max - l_in, D_IN), props.dtype)],
+            axis=1,
         )
+    props, counts, t = _pad_tiles(props, counts)
+    t_pad = props.shape[0]
+    grid = t_pad // N_STREAMS
     p = tile * tile
     kernel = functools.partial(
         _blend_fwd_kernel,
@@ -385,28 +493,31 @@ def _forward(
         t_min=t_min,
         emit_touch=emit_touch,
     )
+    ns = N_STREAMS
     out_specs = [
-        pl.BlockSpec((1, 3, p), lambda i, c: (i, 0, 0)),
-        pl.BlockSpec((1, 1, p), lambda i, c: (i, 0, 0)),
-        pl.BlockSpec((1, 1, p), lambda i, c: (i, 0, 0)),
-        pl.BlockSpec((1, 1, p), lambda i, c: (i, 0, 0)),
-        pl.BlockSpec((1, 8, 128), lambda i, c: (i, 0, 0)),
+        pl.BlockSpec((ns, 3, p), lambda i, c: (i, 0, 0)),
+        pl.BlockSpec((ns, 1, p), lambda i, c: (i, 0, 0)),
+        pl.BlockSpec((ns, 1, p), lambda i, c: (i, 0, 0)),
+        pl.BlockSpec((ns, 1, p), lambda i, c: (i, 0, 0)),
+        pl.BlockSpec((ns, 8, 128), lambda i, c: (i, 0, 0)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((t, 3, p), jnp.float32),
-        jax.ShapeDtypeStruct((t, 1, p), jnp.float32),
-        jax.ShapeDtypeStruct((t, 1, p), jnp.float32),
-        jax.ShapeDtypeStruct((t, 1, p), jnp.float32),
-        jax.ShapeDtypeStruct((t, 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((t_pad, 3, p), jnp.float32),
+        jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
+        jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
+        jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
+        jax.ShapeDtypeStruct((t_pad, 8, 128), jnp.int32),
     ]
     if emit_touch:
-        out_specs.append(pl.BlockSpec((1, l_max, 8), lambda i, c: (i, 0, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((t, l_max, 8), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((ns, l_max, 8), lambda i, c: (i, 0, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((t_pad, l_max, 8), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t,),
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, l_max, D_IN), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((ns, l_max, D_IN), lambda i, c: (i, 0, 0)),
         ],
         out_specs=out_specs,
     )
@@ -417,8 +528,9 @@ def _forward(
         interpret=_interpret(),
     )(counts, props)
     color, depth, alpha, tfinal, neff = outs[:5]
-    touch = outs[5][:, :l_in, 0] if emit_touch else None
-    return color, depth[:, 0], alpha[:, 0], tfinal[:, 0], neff, touch
+    color, depth, alpha = color[:t], depth[:t], alpha[:t]
+    touch = outs[5][:t, :l_in, 0] if emit_touch else None
+    return color, depth[:, 0], alpha[:, 0], tfinal[:t, 0], neff[:t], touch
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -492,14 +604,27 @@ def _fwd_rule(props, counts, tx_n, tile, alpha_clamp, alpha_min, t_min):
 def _bwd_rule(tx_n, tile, alpha_clamp, alpha_min, t_min, residuals, cotangents):
     props, counts, tfinal, neff = residuals
     g_color, g_depth, g_alpha = cotangents
-    t, l_max, _ = props.shape
+    t_in_, l_max, _ = props.shape
     l_in = l_max
     if l_max % _PAD:
         l_max = -(-l_max // _PAD) * _PAD
         props = jnp.concatenate(
-            [props, jnp.zeros((t, l_max - l_in, D_IN), props.dtype)], axis=1
+            [props, jnp.zeros((t_in_, l_max - l_in, D_IN), props.dtype)],
+            axis=1,
         )
+    props, counts, t = _pad_tiles(props, counts)
+    t_pad = props.shape[0]
+
+    def padt(x):
+        if x.shape[0] != t_pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((t_pad - x.shape[0],) + x.shape[1:], x.dtype)],
+                axis=0,
+            )
+        return x
+
     p = tile * tile
+    ns = N_STREAMS
     kernel = functools.partial(
         _blend_bwd_kernel,
         tile=tile,
@@ -511,34 +636,34 @@ def _bwd_rule(tx_n, tile, alpha_clamp, alpha_min, t_min, residuals, cotangents):
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t,),
+        grid=(t_pad // ns,),
         in_specs=[
-            pl.BlockSpec((1, l_max, D_IN), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, p), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 8, 128), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 3, p), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, p), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 1, p), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((ns, l_max, D_IN), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((ns, 1, p), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((ns, 8, 128), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((ns, 3, p), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((ns, 1, p), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((ns, 1, p), lambda i, c: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, l_max, D_IN), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((ns, l_max, D_IN), lambda i, c: (i, 0, 0)),
         ],
     )
     (d_props,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((t, l_max, D_IN), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((t_pad, l_max, D_IN), jnp.float32)],
         interpret=_interpret(),
     )(
         counts,
         props,
-        tfinal[:, None, :],
-        neff,
-        g_color,
-        g_depth[:, None, :],
-        g_alpha[:, None, :],
+        padt(tfinal[:, None, :]),
+        padt(neff),
+        padt(g_color),
+        padt(g_depth[:, None, :]),
+        padt(g_alpha[:, None, :]),
     )
-    return d_props[:, :l_in, :], None
+    return d_props[:t, :l_in, :], None
 
 
 blend_tiles_pallas.defvjp(_fwd_rule, _bwd_rule)

@@ -49,12 +49,13 @@ from monogs_dev_tpu.ops.project import project_gaussians
 from monogs_dev_tpu.ops.rasterize import _tile_gather, build_binning, render_binned
 
 N = int(os.environ.get("MONOGS_N", "32768"))
+TILE_ENV = int(os.environ.get("MONOGS_TILE", "16"))
 L = int(os.environ.get("MONOGS_L", "512"))
 KDUP = int(os.environ.get("MONOGS_KDUP", "8"))
 SCALE = float(os.environ.get("MONOGS_SCALE", "0.03"))
 
 intr = Intrinsics(fx=576.0, fy=576.0, cx=320.0, cy=240.0, width=640, height=480)
-cfg = RasterConfig(max_per_tile=L, k_dup=KDUP, tile_group=60)
+cfg = RasterConfig(tile=TILE_ENV, max_per_tile=L, k_dup=KDUP, tile_group=60)
 TILE = cfg.tile
 P = TILE * TILE
 TX_N = -(-intr.width // TILE)
@@ -73,6 +74,14 @@ BWD_EXP_PER_EP = 1
 
 # Documented assumption for v5e VPU peak (see module docstring).
 VPU_PEAK_OPS = 7.0e12
+# Empirical ceiling: eight structurally different kernel variants (base,
+# nocond, acc8@{32,64,128}, storew, trimat, pair2/4, plus the backward)
+# all converge to ~0.7-0.85e12 element-ops/s on this op mix
+# (tools/kernel_lab.py, v5e) — treat ~0.9e12 as the achievable VPU rate
+# for dependent f32 elementwise work with rolls/exp/selects. A fraction
+# near 1.0 of THIS number means the kernel is done; further speedups must
+# reduce entry-pixel work.
+VPU_EMPIRICAL_OPS = 0.9e12
 HBM_PEAK_B = 819e9
 
 
@@ -124,6 +133,30 @@ def main():
         f"({eff_entries / max(n_entries, 1):.2f}x binned)",
         flush=True,
     )
+
+    # --- work-reduction diagnostics:
+    # (a) pixel utilization: fraction of processed (entry, pixel) pairs
+    #     where the entry actually contributes (alpha >= alpha_min and
+    #     unsaturated) — the headroom a finer tile / tighter cull could
+    #     reclaim;
+    # (b) binned-entry counts at coarser alpha_min — what a tracking-only
+    #     alpha_min raise would save (quality impact measured separately).
+    _, _, _, touch = jax.jit(
+        lambda p: __import__(
+            "monogs_dev_tpu.ops.blend_pallas", fromlist=["x"]
+        ).blend_tiles_pallas_touch(p, binning.counts, TX_N, TILE)
+    )(t_props0)
+    util = float(jnp.sum(touch)) / max(n_entries * P, 1)
+    print(f"pixel utilization (touch / entry-pixels): {util:.3f}", flush=True)
+    for am in (2.0 / 255.0, 4.0 / 255.0, 8.0 / 255.0):
+        cfg_am = RasterConfig(tile=TILE_ENV, max_per_tile=L, k_dup=KDUP,
+                              tile_group=60, alpha_min=am)
+        b_am = jax.jit(lambda: build_binning(proj0, intr, cfg_am))()
+        print(
+            f"alpha_min={am * 255:.0f}/255: entries "
+            f"{int(jax.device_get(b_am.counts).sum())}",
+            flush=True,
+        )
 
     # --- blend forward only
     def f_fwd(x, i):
@@ -186,8 +219,15 @@ def main():
         "fwd_vpu_fraction": round(fwd_frac, 4),
         "bwd_achieved_Top_s": round(bwd_ops / (max(ms_bwd, 1e-6) * 1e-3) / 1e12, 3),
         "bwd_vpu_fraction": round(bwd_frac, 4),
+        "fwd_empirical_fraction": round(
+            fwd_ops / (ms_fwd * 1e-3) / VPU_EMPIRICAL_OPS, 4
+        ),
+        "bwd_empirical_fraction": round(
+            bwd_ops / (max(ms_bwd, 1e-6) * 1e-3) / VPU_EMPIRICAL_OPS, 4
+        ),
         "fwd_hbm_fraction": round(fwd_bw_frac, 4),
         "vpu_peak_assumption_Top_s": VPU_PEAK_OPS / 1e12,
+        "vpu_empirical_Top_s": VPU_EMPIRICAL_OPS / 1e12,
         "ops_per_entry_pixel": {"fwd": FWD_OPS_PER_EP, "bwd": BWD_OPS_PER_EP},
     }
     print("ROOFLINE " + json.dumps(result), flush=True)
