@@ -171,6 +171,19 @@ class FrontEnd:
         self.cfg = step_cfg
         self.intr = intr
         self.raster_cfg = raster_cfg
+        # TPU.track_alpha_min (> reference 1/255): coarser contribution
+        # cutoff for the TRACKING loop only — tight culling then bins fewer
+        # tail entries and saturation exits earlier, shrinking blend work
+        # linearly. Pose gradients from sub-threshold tail pixels are
+        # negligible; quality impact is measured (tools/probe_quality.py /
+        # surface regression) before any config enables it. Mapping,
+        # keyframe-policy, and eval renders keep reference alpha_min.
+        tam = float((config.get("TPU") or {}).get("track_alpha_min", 0.0))
+        self.track_raster_cfg = (
+            dataclasses.replace(raster_cfg, alpha_min=tam)
+            if tam > 0.0
+            else raster_cfg
+        )
         self.save_dir = save_dir
         self.throttle = throttle
         self.viz_channel = viz_channel
@@ -453,7 +466,7 @@ class FrontEnd:
                 self.bg_color,
                 self.cfg,
                 self.intr,
-                self.raster_cfg,
+                self.track_raster_cfg,
                 use_depth=use_depth,
             )
             # while the device runs the tracking program, pull the next

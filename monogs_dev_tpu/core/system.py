@@ -204,7 +204,8 @@ class SLAM:
                 a_t = gmap.aux.active[:tier]
                 track = track_frame(
                     p_t, a_t, jnp.eye(4), jnp.zeros(2),
-                    image, depth, None, jnp.zeros(3), cfg, intr, rcfg,
+                    image, depth, None, jnp.zeros(3), cfg, intr,
+                    self.frontend.track_raster_cfg,
                     use_depth=not cfg.monocular,
                 )
                 jax.block_until_ready(track.T_w2c)

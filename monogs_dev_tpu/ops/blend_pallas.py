@@ -69,6 +69,12 @@ MEASURED DEAD ENDS (do not retry):
 - log-space cumprod via triangular MXU matmul (trimat): 3.57 ms.
 - CHUNK=128: 2.96 ms vs CHUNK=64 acc8 2.76 / pair2@32 2.69 — wider ops
   stop paying once intermediates outgrow the register file.
+- tile=8 (tools/probe_roofline.py MONOGS_TILE=8): pixel utilization rises
+  0.27 -> 0.46 and raw entry-pixel work drops 1.85x, but P=64 fills only
+  half a vreg lane dim and counts/CHUNK padding grows — blend fwd measured
+  5.62 ms vs 2.82 at tile=16. A finer tiling only pays with a lane-packed
+  multi-tile layout (two 64-px tiles sharing each vreg), not via the tile
+  config knob.
 """
 
 from __future__ import annotations

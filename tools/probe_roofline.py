@@ -190,6 +190,37 @@ def main():
     g_iter = jax.grad(loss_iter)
     ms_iter = timeit("full iter grad", g_iter and (lambda x, i: x + 1e-6 * g_iter(x * 1e-3)), jnp.zeros(6))
 
+    # --- full tracking iteration on the COMPACTED working set (what the
+    # production loop runs per iteration after compact_binning)
+    from monogs_dev_tpu.ops.rasterize import compact_binning
+
+    m = int(os.environ.get("MONOGS_COMPACT", "16384"))
+    if 0 < m < N:
+        sel, binning_c, dropped = jax.jit(
+            lambda b: compact_binning(b, N, m)
+        )(binning)
+        sel_c = jnp.clip(sel, 0, N - 1)
+        params_c = jax.tree.map(lambda x: x[sel_c], params)
+        active_c = active[sel_c] & (sel < N)
+        print(f"compact: m={m} dropped={int(dropped)}", flush=True)
+
+        def loss_iter_c(tau):
+            T = se3_exp(tau) @ jnp.eye(4)
+            proj = project_gaussians(params_c, active_c, T, intr, 0)
+            out = render_binned(
+                proj, proj.means2d, binning_c, intr, jnp.zeros(3), cfg, False
+            )
+            return jnp.abs(out.color - 0.3).mean()
+
+        g_iter_c = jax.grad(loss_iter_c)
+        ms_iter_c = timeit(
+            "full iter grad (compact)",
+            lambda x, i: x + 1e-6 * g_iter_c(x * 1e-3),
+            jnp.zeros(6),
+        )
+    else:
+        ms_iter_c = ms_iter
+
     # --- binning build (amortized over rebin_every in the tracking loop)
     def f_bin(x, i):
         b = build_binning(proj0, intr, cfg, dilate=x)
@@ -213,6 +244,7 @@ def main():
         "blend_fwd_ms": round(ms_fwd, 3),
         "blend_bwd_ms": round(ms_bwd, 3),
         "full_iter_ms": round(ms_iter, 3),
+        "full_iter_compact_ms": round(ms_iter_c, 3),
         "binning_ms": round(ms_bin, 3),
         "fwd_Gops": round(fwd_ops / 1e9, 2),
         "fwd_achieved_Top_s": round(fwd_ops / (ms_fwd * 1e-3) / 1e12, 3),
