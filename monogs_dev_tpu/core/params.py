@@ -40,10 +40,16 @@ class StepConfig:
     # TPU tracking working-set compaction: once per rebin, gather the <=
     # track_compact Gaussians that actually have tile entries and run every
     # iteration of the reuse window on those rows only (projection + VJP +
-    # props gather shrink from the capacity tier to the visible set). 0
-    # disables; bit-exact when nothing is dropped (ops/rasterize.py
-    # compact_binning); drops are surfaced via TrackResult.compact_dropped.
-    track_compact: int = 16384
+    # props gather shrink from the capacity tier to the visible set).
+    # Bit-exact when nothing is dropped (ops/rasterize.py compact_binning);
+    # drops are surfaced via TrackResult.compact_dropped and a loud log.
+    # DEFAULT OFF: on the VGA mono bench the bootstrap map bins ~53k
+    # gaussians (the first keyframe + init-BA densification), so a fixed
+    # 16384 working set dropped 37k of them and tracking lost lock
+    # instantly (n_vis 0, resets every window). Enable via
+    # TPU.track_compact only for workloads whose BINNED set is measured
+    # well under the cap (large capacity, localized visibility).
+    track_compact: int = 0
     # mapping reuses per-slot binnings for a whole chunk dispatch
     # (core/mapping.py); same drift-margin idea
     mapping_rebin_dilation: float = 4.0
@@ -87,7 +93,7 @@ class StepConfig:
             plateau_iters=int(training.get("tracking_plateau_iters", 0)),
             plateau_rel_tol=float(training.get("tracking_plateau_rel_tol", 1e-4)),
             track_compact=int(
-                (config.get("TPU", {}) or {}).get("track_compact", 16384)
+                (config.get("TPU", {}) or {}).get("track_compact", 0)
             ),
             edge_threshold=float(training.get("edge_threshold", 1.1)),
             per_block_mask=config["Dataset"].get("type") == "replica",
