@@ -117,20 +117,40 @@ def orbit_pose(
     radius: float = 0.5,
     sweep: float = 1.2,
     ease: bool = False,
+    profile: str | None = None,
 ):
     """Smooth lateral arc with yaw + slight push-in, looking down +z (W2C).
 
     The sweep is sized so consecutive keyframe-interval frames lose enough
     covisibility to exercise the keyframe policy with TUM-like thresholds.
 
-    ease=True applies a smoothstep time warp (zero velocity at both ends):
-    real handheld sequences (TUM fr3_office) start near-static, which is
-    what lets the monocular bootstrap fill its keyframe window before early
-    keyframes fall below the overlap cutoff; a constant-rate orbit makes
-    bootstrap uniformly marginal instead."""
+    Motion profiles (`profile` wins over the legacy `ease` bool):
+      const    constant angular velocity over the whole sequence.
+      ease     smoothstep time warp (zero velocity at both ends): real
+               handheld sequences (TUM fr3_office) start near-static, which
+               lets the monocular bootstrap fill its keyframe window before
+               early keyframes fall below the overlap cutoff.
+      ease_in  quadratic ramp over the first quarter, then CONSTANT cruise
+               to the end. The bench profile: `ease`'s deceleration tail
+               puts late measurement windows into a degenerate regime
+               (near-zero parallax, mono drift, keyframe spam), so two runs
+               whose init lands a few frames apart measure different
+               workloads; a uniform cruise makes every post-bootstrap
+               window the same regime.
+    """
     t = i / max(n_frames - 1, 1)
-    if ease:
+    if profile is None:
+        profile = "ease" if ease else "const"
+    if profile == "ease":
         t = t * t * (3.0 - 2.0 * t)
+    elif profile == "ease_in":
+        r = 0.25  # ramp fraction; cruise velocity = 2/(2-r) x mean
+        if t < r:
+            t = t * t / (r * (2.0 - r))
+        else:
+            t = (2.0 * t - r) / (2.0 - r)
+    elif profile != "const":
+        raise ValueError(f"unknown orbit profile {profile!r}")
     angle = (t - 0.5) * sweep
     center = np.array(
         [np.sin(angle) * radius * 4.0, 0.15 * np.sin(2 * angle), 0.4 * t]
@@ -174,8 +194,10 @@ class SyntheticDataset(BaseDataset):
             )
         sweep = float(ds.get("sweep", 1.2))
         ease = bool(ds.get("ease", False))
+        profile = ds.get("profile")  # const | ease | ease_in (wins over ease)
         self.poses = [
-            orbit_pose(i, self.num_imgs, sweep=sweep, ease=ease)
+            orbit_pose(i, self.num_imgs, sweep=sweep, ease=ease,
+                       profile=profile)
             for i in range(self.num_imgs)
         ]
         self._raster_cfg = RasterConfig(max_per_tile=512, k_dup=16)
