@@ -95,6 +95,15 @@ class StepConfig:
             track_compact=int(
                 (config.get("TPU", {}) or {}).get("track_compact", 0)
             ),
+            rebin_every=int(
+                (config.get("TPU", {}) or {}).get("rebin_every", 8)
+            ),
+            rebin_dilation=float(
+                (config.get("TPU", {}) or {}).get("rebin_dilation", 4.0)
+            ),
+            mapping_rebin_dilation=float(
+                (config.get("TPU", {}) or {}).get("mapping_rebin_dilation", 4.0)
+            ),
             edge_threshold=float(training.get("edge_threshold", 1.1)),
             per_block_mask=config["Dataset"].get("type") == "replica",
         )
