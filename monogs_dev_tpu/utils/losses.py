@@ -49,7 +49,12 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def _filter2d_same(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 2D convolution with SAME padding. img: (H, W, C)."""
+    """Depthwise 2D convolution with SAME padding. img: (H, W, C).
+
+    precision=HIGHEST: on TPU the default conv runs bf16 passes, and the
+    SSIM variance terms E[x^2] - mu^2 then cancel catastrophically —
+    measured mean SSIM of 1.106 (impossible; bounded by 1) on a fixture
+    eval. Metrics must be fp32-exact; these convs are not hot."""
     c = img.shape[-1]
     k = jnp.broadcast_to(kernel[:, :, None, None], kernel.shape + (1, 1))
     out = jax.lax.conv_general_dilated(
@@ -59,6 +64,7 @@ def _filter2d_same(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0]
 

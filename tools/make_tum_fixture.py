@@ -23,6 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from PIL import Image
 
+from monogs_dev_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 import jax.numpy as jnp
 
 from monogs_dev_tpu.data.synthetic import make_surface_scene, orbit_pose
@@ -70,8 +74,15 @@ def _quat_wxyz(R: np.ndarray) -> np.ndarray:
     return q
 
 
+SWEEP = float(os.environ.get("MONOGS_FIXTURE_SWEEP", "0.45"))
+
 for i in range(N_FRAMES):
-    T_w2c = orbit_pose(i, N_FRAMES, sweep=0.7)
+    # constant cruise at the bench-calibrated keyframe cadence (~0.006
+    # rad/frame at 80 frames): the original 0.7-over-40 sweep moved so fast
+    # that a keyframe fired at EVERY kf_interval-th frame, which collides
+    # exactly with eval_rendering's every-5th-frame sampling (all sampled
+    # frames were keyframes -> NaN PSNR) and overflowed an 8192 map
+    T_w2c = orbit_pose(i, N_FRAMES, sweep=SWEEP)
     out = render_tiled(
         params, active, jnp.asarray(T_w2c, jnp.float32), intr, 0,
         config=cfg, need_touched=False,
