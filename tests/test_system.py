@@ -230,3 +230,31 @@ class TestCheckpointResume:
             assert np.all(np.isfinite(cam.T_est))
         assert len(fe.kf_indices) >= n_kf_1  # keyframing continued
         slam2.stop()
+
+
+class TestMonoSurfaceAccuracy:
+    """Monocular end-to-end quality gate (VERDICT r2 next-round #3): the
+    headline capability — pose-gradient tracking, pseudo-depth keyframe
+    insertion, mono bootstrap + init-BA — on the textured surface scene
+    with exact GT. Umeyama-with-scale ATE (mono gauge). Anchor run on v5e
+    2026-08-19: ATE 17.4 cm, PSNR 25.6, 11 keyframes / 120 frames, zero
+    post-bootstrap resets; the bar is 2x that anchor."""
+
+    @pytest.mark.slow
+    def test_mono_ate_under_bar(self):
+        from monogs_dev_tpu.eval.ate import eval_ate
+
+        cfg = load_config(
+            os.path.join(REPO, "configs/synthetic/surface_mono_160.yaml")
+        )
+        cfg["Results"]["save_results"] = False
+        slam = SLAM(cfg, save_dir=None)
+        slam.run()
+        fe = slam.frontend
+        assert len(fe.kf_indices) >= 6
+        ate = eval_ate(
+            fe.cameras, fe.kf_indices, None, 0, final=True,
+            monocular=True,
+        )
+        slam.stop()
+        assert ate < 0.35, f"mono surface ATE {ate * 100:.1f} cm >= 35 cm"
