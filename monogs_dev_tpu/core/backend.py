@@ -116,6 +116,9 @@ class BackendEngine:
         seed: int = 0,
         live_mode: bool = False,
     ):
+        from ..utils.precision import enable_f32_matmuls
+
+        enable_f32_matmuls()  # quality-critical on TPU (utils/precision.py)
         self.config = config
         self.cfg = step_cfg
         self.opt_cfg = opt_cfg

@@ -56,6 +56,9 @@ def raster_config_from(config) -> RasterConfig:
 
 class SLAM:
     def __init__(self, config, save_dir: Optional[str] = None, seed: int = 0):
+        from ..utils.precision import enable_f32_matmuls
+
+        enable_f32_matmuls()  # measured 17.6 -> 1.0 cm ATE on v5e (see module)
         self.config = config
         self.save_dir = save_dir
 
