@@ -91,7 +91,7 @@ class TestTUMFixture:
             }
         )
         ds = TUMDataset(config)
-        assert len(ds) == 40  # 30 Hz < 32 Hz keeps every frame
+        assert len(ds) == 80  # 30 Hz < 32 Hz keeps every frame
         image, depth, pose = ds[0]
         assert image.shape == (120, 160, 3)
         assert depth.shape == (120, 160)
@@ -100,7 +100,7 @@ class TestTUMFixture:
         # GT roundtrip: frame 0 of the orbit, quaternion -> matrix -> W2C
         from monogs_dev_tpu.data.synthetic import orbit_pose
 
-        np.testing.assert_allclose(pose, orbit_pose(0, 40, sweep=0.7), atol=1e-5)
+        np.testing.assert_allclose(pose, orbit_pose(0, 80, sweep=0.45), atol=1e-5)
         # depth/rgb consistency: the rendered image is not degenerate
         assert 0.05 < image.mean() < 0.95
 
