@@ -28,8 +28,10 @@ import numpy as np
 from ..models.camera import Intrinsics
 from ..models.gaussians import (
     GaussianMap,
+    compact_map,
     create_map,
     insert_points_evict,
+    resize_map,
 )
 from ..ops.raster_types import RasterConfig
 from ..utils.device_lock import DEVICE_LOCK
@@ -173,6 +175,22 @@ class BackendEngine:
         if self.mesh_devices > 1:
             self._init_dp()
 
+        # Mapping capacity tier (round-3 perf): the map's static row count.
+        # Every per-iteration mapping cost that scales with the STATIC row
+        # count (projection, binning sort keys, Adam, densify top-k) runs at
+        # the tier, not the worst-case capacity. Bootstrap runs at full
+        # capacity (mono inserts ~2*H*W/downsample points per keyframe and
+        # peaks well above the steady-state alive count before the init
+        # prune); at full-window prune syncs the map is compacted down to
+        # `tier_small` when the alive count fits with densify headroom, and
+        # grows back to capacity under insert/densify pressure. Two tiers
+        # only — each (tier x slot-tier x mode) is a separate mapping
+        # compile.
+        self.tier_small = int(tpu_grp.get("map_tier_small", 0)) or max(
+            capacity // 2, min(capacity, 8192)
+        )
+        self.tier_small = min(_next_pow2(self.tier_small), capacity)
+
         self.rng = jax.random.PRNGKey(seed)
         self.np_rng = np.random.default_rng(seed)
         # adaptive chunk: shrinks while measured binning drift approaches
@@ -187,6 +205,7 @@ class BackendEngine:
     def reset(self) -> None:
         """Full map reset (slam_backend.py:72-84)."""
         self.gmap: GaussianMap = create_map(self.capacity, self.cfg.sh_degree)
+        self._grow_pending = False
         self.iteration_count = 0
         # start cautious after every reset: the first init-BA iterations
         # move means tens of pixels per chunk (drift telemetry), so long
@@ -200,6 +219,12 @@ class BackendEngine:
         self.initialized = not self.cfg.monocular
         self.kf_state: Optional[KeyframeOptState] = None
         self._batch_cache = None  # (images, depths, slot kf ids) device stacks
+        # deferred idle-round state (batch, slot_ids, pending, n_win): idle
+        # mapping rounds are enqueue-only — telemetry fetch and pose
+        # writeback are postponed to the next sync point so the host never
+        # drains the device queue between frames (each device_get is a
+        # relay round-trip)
+        self._standing = None
         self._zero_depth = None  # cached device zeros for mono slots
         self.telemetry = {
             "insert_dropped": 0,
@@ -215,11 +240,69 @@ class BackendEngine:
             # beyond that margin)
             "max_binning_drift": 0.0,
             "max_bulk_drift": 0.0,  # p99.5 drift (the controller's signal)
+            "map_compactions": 0,  # tier shrinks (compact_map)
+            "map_grows": 0,  # tier grows back to capacity
         }
 
     def _split_rng(self) -> jax.Array:
         self.rng, k = jax.random.split(self.rng)
         return k
+
+    # ------------------------------------------------------ capacity tiers
+
+    def map_rows(self) -> int:
+        """Current static row count (the mapping tier)."""
+        return int(self.gmap.aux.active.shape[0])
+
+    def _grow_to_capacity(self) -> None:
+        """Grow the tier back to full capacity (insert/densify pressure)."""
+        rows = self.map_rows()
+        if rows >= self.capacity:
+            self._grow_pending = False
+            return
+        self.gmap = resize_map(self.gmap, self.capacity)
+        self.telemetry["map_grows"] += 1
+        self._grow_pending = False
+        Log(
+            f"map tier grown {rows} -> {self.capacity} rows",
+            tag="MonoGS-TPU",
+        )
+
+    def _maybe_compact(self) -> None:
+        """Shrink the tier to `tier_small` when the alive count fits with
+        densify headroom. Active rows are stably packed to the row prefix;
+        the same permutation is applied to the host-side occ-aware
+        visibility vectors (kept capacity-padded for the frontend's
+        keyframe-policy numpy ops). Called at full-window prune syncs —
+        right after visibility pruning collapses the alive count."""
+        rows = self.map_rows()
+        target = self.tier_small
+        if target >= rows:
+            return
+        alive = int(jax.device_get(self.gmap.aux.active.sum()))
+        # hysteresis: the compacted tier must hold the alive set PLUS one
+        # keyframe insert (~H*W/downsample points) and densify headroom —
+        # well below the grow trigger (free < insert estimate), so the tier
+        # cannot ping-pong when alive hovers near the boundary
+        kf_insert = (self.intr.height * self.intr.width) // self.pcd_downsample
+        densify_headroom = min(6144, self.capacity // 8)
+        if alive + kf_insert + densify_headroom > target:
+            return
+        gmap, perm = compact_map(self.gmap, target)
+        perm_np = np.asarray(perm)
+        self.gmap = gmap
+        for k, v in list(self.occ_aware_visibility.items()):
+            vv = np.asarray(v)
+            if vv.shape[0] < perm_np.shape[0]:
+                vv = np.pad(vv, (0, perm_np.shape[0] - vv.shape[0]))
+            out = np.zeros(self.capacity, bool)
+            out[:target] = vv[perm_np[:target]]
+            self.occ_aware_visibility[k] = out
+        self.telemetry["map_compactions"] += 1
+        Log(
+            f"map compacted: {alive} active -> {target} rows (was {rows})",
+            tag="MonoGS-TPU",
+        )
 
     # ------------------------------------------------------------- insertion
 
@@ -230,6 +313,13 @@ class BackendEngine:
         downsample = self.pcd_downsample_init if init else self.pcd_downsample
         h, w = self.intr.height, self.intr.width
         budget = _next_pow2(max(int(2 * h * w / downsample), 256))
+        if self.map_rows() < self.capacity:
+            # grow-before-evict: at a reduced tier, insert pressure means the
+            # tier is too small, not that the map is full (eviction is the
+            # full-capacity backstop only)
+            free = int(jax.device_get((~self.gmap.aux.active).sum()))
+            if budget // 2 > free:
+                self._grow_to_capacity()
         with DEVICE_LOCK:
             new_params, valid = new_points_from_frame(
                 self._split_rng(),
@@ -393,10 +483,16 @@ class BackendEngine:
         Called one chunk BEHIND the dispatch loop so the device queue never
         drains on this sync; the controller therefore reacts to the previous
         chunk's drift, one decision late."""
-        n_dropped, drift_dev, bulk_dev = jax.device_get(
-            (out.n_dropped, out.max_drift, out.bulk_drift)
+        n_dropped, drift_dev, bulk_dev, n_free = jax.device_get(
+            (out.n_dropped, out.max_drift, out.bulk_drift, out.n_free)
         )
         self.telemetry["densify_dropped"] += int(n_dropped)
+        if (int(n_dropped) > 0 or int(n_free) < 2048) and (
+            self.map_rows() < self.capacity
+        ):
+            # densify pressure at a reduced tier: grow before the next chunk
+            # so children are never dropped for lack of rows
+            self._grow_pending = True
         self.telemetry["map_chunks"] += 1
         self.telemetry["map_iters"] += chunk
         # drift telemetry is meaningless on chunks whose final iteration
@@ -431,6 +527,22 @@ class BackendEngine:
 
     # ---------------------------------------------------------------- mapping
 
+    def flush_standing(self) -> None:
+        """Consume a deferred idle round's telemetry and write its optimized
+        poses back to the keyframe store. Must run before anything reads
+        `viewpoints` poses (push_to_frontend, batch rebuilds on a changed
+        window, checkpointing, eval)."""
+        st = self._standing
+        if st is None:
+            return
+        self._standing = None
+        batch, slot_ids, pending, _ = st
+        with DEVICE_LOCK:
+            if pending is not None:
+                self._consume_chunk_telemetry(*pending)
+            T_np, exp_np = jax.device_get((batch.T_w2c, batch.exposure))
+            self._writeback_np(T_np, exp_np, slot_ids)
+
     def map(
         self,
         iters: int = 1,
@@ -438,6 +550,7 @@ class BackendEngine:
         init_mode: bool = False,
         frames_to_optimize: Optional[int] = None,
         harvest: bool = True,
+        sync: bool = True,
     ) -> None:
         """BackEnd.map equivalent (slam_backend.py:142-318), chunk-dispatched.
 
@@ -452,10 +565,11 @@ class BackendEngine:
             frames_to_optimize = self.pose_window
 
         if self._dp_step is not None and not init_mode and self.initialized:
+            self.flush_standing()
             last_batch, slot_ids = self._map_dp(iters, frames_to_optimize)
         else:
             last_batch, slot_ids = self._map_single(
-                iters, init_mode, frames_to_optimize
+                iters, init_mode, frames_to_optimize, sync=sync or harvest
             )
 
         if last_batch is not None and harvest:
@@ -464,14 +578,21 @@ class BackendEngine:
         if prune and len(self.current_window) == self.window_size:
             with DEVICE_LOCK:
                 self._visibility_prune()
+                self._maybe_compact()
             if not self.initialized:
                 self.initialized = True
                 Log("Initialized SLAM")
 
     def _map_single(
-        self, iters: int, init_mode: bool, frames_to_optimize: int
+        self, iters: int, init_mode: bool, frames_to_optimize: int,
+        sync: bool = True,
     ):
-        """Single-device chunk-dispatched mapping round (the default path)."""
+        """Single-device chunk-dispatched mapping round (the default path).
+
+        With sync=False the round is enqueue-only: the final chunk's
+        telemetry fetch and the pose writeback are deferred into
+        `self._standing`, adopted by the next round over the same window
+        (or flushed when the window changes)."""
         if init_mode:
             update_every, update_offset = self.init_gaussian_update, 1
             reset_interval = self.init_gaussian_reset
@@ -495,7 +616,29 @@ class BackendEngine:
         if self.kf_state is None or self.kf_state.mu.shape[0] != tier:
             self.kf_state = make_keyframe_opt_state(tier)
         n_win = min(len(self.current_window), tier - 2)
+
+        # adopt a deferred idle round's device-resident batch when this
+        # round optimizes the same window slots — poses never left the
+        # device, so no writeback/rebuild roundtrip is owed yet
+        st = self._standing
+        if st is not None:
+            st_batch, st_ids, st_pending, st_nwin = st
+            if (
+                not init_mode
+                and st_nwin == n_win
+                and st_ids[:st_nwin] == list(self.current_window)[:n_win]
+                and st_batch.images.shape[0] == tier
+            ):
+                self._standing = None
+                batch, slot_ids, pending = st_batch, st_ids, st_pending
+            else:
+                self.flush_standing()
         while remaining > 0:
+            if self._grow_pending:
+                with DEVICE_LOCK:
+                    self._grow_to_capacity()
+                    # the standing device batch is tier-agnostic (keyframe
+                    # stacks, poses); only the map changed size
             chunk = min(self._adaptive_chunk, remaining)
             # the device program reuses per-slot binnings for a whole chunk;
             # end the chunk exactly ON the next densify/opacity-reset event
@@ -556,6 +699,13 @@ class BackendEngine:
             last_batch = out.batch
             remaining -= chunk
 
+        if last_batch is None:
+            return last_batch, slot_ids
+        if not sync:
+            # enqueue-only round: defer telemetry + writeback to the next
+            # sync point (adopted by the next same-window round, or flushed)
+            self._standing = (last_batch, slot_ids, pending, n_win)
+            return last_batch, slot_ids
         if pending is not None:
             with DEVICE_LOCK:
                 self._consume_chunk_telemetry(*pending)
@@ -574,6 +724,14 @@ class BackendEngine:
                 self.raster_cfg,
             )
             visibility = np.asarray(visibility)
+        if visibility.shape[1] < self.capacity:
+            # host-side visibility vectors are ALWAYS capacity-padded so the
+            # frontend's keyframe-policy numpy ops see one fixed length
+            # regardless of the current mapping tier
+            visibility = np.pad(
+                visibility,
+                ((0, 0), (0, self.capacity - visibility.shape[1])),
+            )
         for s, kf_idx in enumerate(slot_ids):
             if s < len(self.current_window):
                 self.occ_aware_visibility[kf_idx] = visibility[s]
@@ -710,13 +868,13 @@ class BackendEngine:
 
     def _visibility_prune(self) -> None:
         b = self.cfg.window_slots
-        n = self.capacity
+        n = self.map_rows()
         vis = np.zeros((b, n), bool)
         valid = np.zeros(b, bool)
         kf_ids = np.full(b, -1, np.int32)
         for s, kf_idx in enumerate(self.current_window[:b]):
             if kf_idx in self.occ_aware_visibility:
-                vis[s] = np.asarray(self.occ_aware_visibility[kf_idx])
+                vis[s] = np.asarray(self.occ_aware_visibility[kf_idx])[:n]
                 valid[s] = True
                 kf_ids[s] = kf_idx
         sorted_window = sorted(self.current_window, reverse=True)
@@ -739,6 +897,14 @@ class BackendEngine:
                 (self.gmap.aux.active, prev_active)
             )
             kept = active_np | ~prev_np
+            if kept.shape[0] < self.capacity:
+                # occ vectors are capacity-padded; rows past the tier were
+                # never prunable (inactive), so they stay "kept"
+                kept = np.pad(
+                    kept,
+                    (0, self.capacity - kept.shape[0]),
+                    constant_values=True,
+                )
             for k in list(self.occ_aware_visibility):
                 self.occ_aware_visibility[k] = (
                     np.asarray(self.occ_aware_visibility[k]) & kept
@@ -802,6 +968,7 @@ class BackendEngine:
         via Training.refinement_itr_num."""
         from .refinement import run_color_refinement
 
+        self.flush_standing()
         with DEVICE_LOCK:
             self.gmap, self.iteration_count = run_color_refinement(
                 self,
@@ -811,6 +978,7 @@ class BackendEngine:
     # ----------------------------------------------------------------- views
 
     def keyframe_poses(self) -> Dict[int, np.ndarray]:
+        self.flush_standing()
         return {idx: np.asarray(kf.T_w2c) for idx, kf in self.viewpoints.items()}
 
 
@@ -839,6 +1007,7 @@ class _BackendProtocol:
     def push_to_frontend(self, tag: str = "sync_backend") -> None:
         self.last_sent = 0
         e = self.engine
+        e.flush_standing()  # keyframe poses must be host-current
         with DEVICE_LOCK:
             keyframes = [
                 (idx, np.asarray(e.viewpoints[idx].T_w2c))
@@ -853,7 +1022,10 @@ class _BackendProtocol:
         e = self.engine
         if self.stopped or self.pause or not e.current_window or self.single_thread:
             return
-        e.map(iters=e.idle_iters, harvest=False)
+        # enqueue-only background round: no telemetry fetch, no pose
+        # writeback — the device queue stays full through the frontend's
+        # next tracking dispatch
+        e.map(iters=e.idle_iters, harvest=False, sync=False)
         # reference cadence: after 10 un-synced background iterations, a
         # 10-iteration prune pass + frontend sync (slam_backend.py:377-383);
         # counted in iterations so idle_iters batching keeps the cadence

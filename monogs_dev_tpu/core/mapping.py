@@ -94,6 +94,9 @@ class MappingResult(NamedTuple):
     bulk_drift: jnp.ndarray  # () 99.5th-percentile drift — the chunk
     # controller's signal (max has a heavy per-iteration tail that pinned
     # the chunk at 1; see the drift-telemetry comment below)
+    n_free: jnp.ndarray  # () int32 — free rows after the chunk; the host
+    # grows the mapping tier BEFORE densify children would be dropped
+    # (backend.py _consume_chunk_telemetry)
 
 
 class _Carry(NamedTuple):
@@ -249,9 +252,11 @@ def mapping_iterations(
     # iteration (BackendEngine.map), so a topology change never renders
     # against a stale binning. Unrolled (not lax.map: scan overhead doubles
     # the cost) with a lax.cond skipping empty slots.
-    tile = raster_cfg.tile
-    tx_n = -(-intr.width // tile)
-    ty_n = -(-intr.height // tile)
+    from ..ops.rasterize import tile_wh
+
+    tw, th = tile_wh(raster_cfg)
+    tx_n = -(-intr.width // tw)
+    ty_n = -(-intr.height // th)
     n_tiles = tx_n * ty_n
     l_max = raster_cfg.max_per_tile
 
@@ -485,6 +490,7 @@ def mapping_iterations(
         n_dropped=final.n_dropped,
         max_drift=max_drift,
         bulk_drift=bulk_drift,
+        n_free=(~final.gmap.aux.active).sum().astype(jnp.int32),
     )
 
 

@@ -157,7 +157,12 @@ class SLAM:
         import jax
         import jax.random as jrandom
 
-        from ..models.gaussians import create_map, insert_points
+        from ..models.gaussians import (
+            compact_map,
+            create_map,
+            insert_points,
+            resize_map,
+        )
         from ..utils.device_lock import DEVICE_LOCK
         from .backend import _next_pow2
         from .insertion import mono_bootstrap_depth, new_points_from_frame, pseudo_depth_map
@@ -278,6 +283,77 @@ class SLAM:
             )
             jax.block_until_ready(pruned.params.xyz)
 
+            # tier-small variants (backend.py _maybe_compact): steady state
+            # runs mapping/harvest/prune at the compacted row count with the
+            # full slot tier (the window is full once compaction can fire)
+            if e.tier_small < e.capacity:
+                gmap_small, _ = compact_map(gmap, e.tier_small)
+                jax.block_until_ready(gmap_small.params.xyz)
+                out = mapping_iterations(
+                    gmap_small, dummy_batch(ws), make_keyframe_opt_state(ws),
+                    jnp.zeros((), jnp.int32), rng, self.engine.bg_color,
+                    jnp.float32(e.gaussian_th), jnp.float32(e.gaussian_extent),
+                    cfg, self.opt_cfg, intr, rcfg,
+                    iters=jnp.asarray(1, jnp.int32),
+                    update_every=e.gaussian_update_every,
+                    update_offset=e.gaussian_update_offset,
+                    reset_interval=e.gaussian_reset,
+                    size_threshold=e.size_threshold,
+                    use_depth=e.use_depth, init_mode=False,
+                )
+                jax.block_until_ready(out.gmap.params.xyz)
+                Log(
+                    f"prewarm: mapping tier {e.tier_small} compiled "
+                    f"({time.time() - t_start:.1f}s)"
+                )
+                vis = harvest_visibility(
+                    gmap_small, dummy_batch(ws), self.engine.bg_color, cfg,
+                    intr, rcfg,
+                )
+                jax.block_until_ready(vis)
+                pruned = visibility_prune(
+                    gmap_small,
+                    jnp.zeros((ws, e.tier_small), bool),
+                    jnp.zeros((ws,), bool),
+                    jnp.full((ws,), -1, jnp.int32),
+                    jnp.zeros((), jnp.int32),
+                    jnp.asarray(True),
+                    e.prune_mode,
+                    cfg.monocular,
+                )
+                jax.block_until_ready(pruned.params.xyz)
+                # grow-back program (insert/densify pressure path)
+                regrown = resize_map(gmap_small, e.capacity)
+                jax.block_until_ready(regrown.params.xyz)
+                # keyframe insertion at the small tier (first post-compaction
+                # keyframe otherwise compiles inside the measured window)
+                from ..models.gaussians import insert_points_evict
+
+                gm2, _, _ = insert_points_evict(
+                    gmap_small, new_params, valid, 1
+                )
+                jax.block_until_ready(gm2.params.xyz)
+                jax.block_until_ready(
+                    jnp.asarray((~gmap_small.aux.active).sum())
+                )
+                from .frontend import _high_water
+
+                jax.block_until_ready(_high_water(gmap_small.aux.active))
+                # tracking against a tier-small snapshot: the frontend's
+                # _slice_tier program compiles per (snapshot rows, tier)
+                # pair, and the first tier-small snapshot appears right at
+                # the end of warmup — compile the slice combos now. The
+                # track programs themselves are shape-keyed on the tier and
+                # already compiled above.
+                from .frontend import _slice_tier
+
+                for t in self.frontend.track_tiers:
+                    if t < e.tier_small:
+                        _, a_t = _slice_tier(
+                            gmap_small.params, gmap_small.aux.active, t
+                        )
+                        jax.block_until_ready(a_t)
+
             if cfg.monocular:
                 jax.block_until_ready(
                     mono_bootstrap_depth(rng, h, w, init=True)
@@ -315,6 +391,7 @@ class SLAM:
 
         results = {"fps": self.fps}
         fe, e = self.frontend, self.engine
+        e.flush_standing()  # any deferred idle round's poses
         results["n_keyframes"] = len(fe.kf_indices)
         with DEVICE_LOCK:
             results["n_gaussians"] = int(np.asarray(e.gmap.aux.active).sum())
@@ -395,6 +472,7 @@ class SLAM:
             if self.save_dir is None:
                 return None
             path = os.path.join(self.save_dir, "checkpoint.npz")
+        self.engine.flush_standing()
         with DEVICE_LOCK:  # fetches the map while the backend may be live
             save_checkpoint(path, self.engine, self.frontend)
         Log(f"checkpoint saved to {path}")

@@ -145,13 +145,15 @@ def track_frame(
         """One pyramid level: Adam/retraction while_loop at this scale."""
         # tiles with no edge-mask pixel contribute nothing to the tracking
         # loss (both terms are gated on mask_l): blend them as background
-        tile = raster_cfg.tile
-        tx_n = -(-intr_l.width // tile)
-        ty_n = -(-intr_l.height // tile)
-        m_pad = jnp.zeros((ty_n * tile, tx_n * tile), bool)
+        from ..ops.rasterize import tile_wh
+
+        tw, th = tile_wh(raster_cfg)
+        tx_n = -(-intr_l.width // tw)
+        ty_n = -(-intr_l.height // th)
+        m_pad = jnp.zeros((ty_n * th, tx_n * tw), bool)
         m_pad = m_pad.at[: intr_l.height, : intr_l.width].set(mask_l)
         tile_mask = (
-            m_pad.reshape(ty_n, tile, tx_n, tile).any(axis=(1, 3)).reshape(-1)
+            m_pad.reshape(ty_n, th, tx_n, tw).any(axis=(1, 3)).reshape(-1)
         )
 
         def loss_fn(tau, exp_ab, T, binning, params_x, active_x):

@@ -19,6 +19,7 @@ counted and surfaced as telemetry rather than crashing.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -90,6 +91,87 @@ def create_map(capacity: int, sh_degree: int, dtype=jnp.float32) -> GaussianMap:
         count=jnp.zeros((), jnp.int32),
     )
     return GaussianMap(params, aux, moments)
+
+
+def sh_degree_of(params: GaussianParams) -> int:
+    """Recover the SH degree from the f_rest leaf shape."""
+    return {0: 0, 3: 1, 8: 2, 15: 3}[params.f_rest.shape[1]]
+
+
+def _map_rows(gmap: GaussianMap) -> int:
+    return gmap.aux.active.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def resize_map(gmap: GaussianMap, rows: int) -> GaussianMap:
+    """Change the map's static row count (the mapping capacity tier).
+
+    Growing pads with the `create_map` inactive defaults; shrinking slices
+    the row prefix (the caller guarantees every active row is inside it —
+    see `compact_map`). The reference has no analog: its torch tensors grow
+    unboundedly (gaussian_model.py:523-555); under XLA static shapes the
+    row count is a compile-time constant, and every per-iteration mapping
+    cost (projection, binning sort keys, Adam, densify top-k) scales with
+    it, so the tier tracks the alive count instead of the worst case."""
+    cur = _map_rows(gmap)
+    if rows == cur:
+        return gmap
+    if rows < cur:
+        def cut(x):
+            return x[:rows]
+
+        return GaussianMap(
+            jax.tree.map(cut, gmap.params),
+            jax.tree.map(cut, gmap.aux),
+            AdamMoments(
+                jax.tree.map(cut, gmap.moments.mu),
+                jax.tree.map(cut, gmap.moments.nu),
+                gmap.moments.count,
+            ),
+        )
+    base = create_map(rows, sh_degree_of(gmap.params), gmap.params.xyz.dtype)
+
+    def put(big, small):
+        return jax.lax.dynamic_update_slice(big, small, (0,) * big.ndim)
+
+    return GaussianMap(
+        jax.tree.map(put, base.params, gmap.params),
+        jax.tree.map(put, base.aux, gmap.aux),
+        AdamMoments(
+            jax.tree.map(put, base.moments.mu, gmap.moments.mu),
+            jax.tree.map(put, base.moments.nu, gmap.moments.nu),
+            gmap.moments.count,
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def compact_map(
+    gmap: GaussianMap, rows: int
+) -> Tuple[GaussianMap, jnp.ndarray]:
+    """Stable-partition active rows to the front, then resize to `rows`.
+
+    Returns (map, perm) with perm over the ORIGINAL row count: row i of the
+    compacted map is old row perm[i]. The caller must apply the same
+    permutation to any host-side per-row vectors (occ-aware visibility) and
+    guarantee n_active <= rows (rows past the cut are dropped)."""
+    c = _map_rows(gmap)
+    order = jnp.arange(c, dtype=jnp.int32)
+    perm = jnp.argsort(jnp.where(gmap.aux.active, order, order + c))
+
+    def take(x):
+        return x[perm]
+
+    packed = GaussianMap(
+        jax.tree.map(take, gmap.params),
+        jax.tree.map(take, gmap.aux),
+        AdamMoments(
+            jax.tree.map(take, gmap.moments.mu),
+            jax.tree.map(take, gmap.moments.nu),
+            gmap.moments.count,
+        ),
+    )
+    return resize_map(packed, rows), perm
 
 
 def activations(params: GaussianParams):

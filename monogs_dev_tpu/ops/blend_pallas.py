@@ -92,7 +92,11 @@ from jax.experimental.pallas import tpu as pltpu
 D_IN = 10
 CHUNK = 32  # entries processed per inner step (sublane dimension)
 BLOCK = 2  # chunks per saturation check in the forward (unrolled)
-N_STREAMS = 2  # tiles per program, interleaved for latency hiding
+# tiles per program, interleaved for latency hiding. Env override is a
+# probe knob (tools/probe_roofline.py stream sweeps), not a product config:
+# the right value is fixed per tile shape (2 at P=256; narrower tiles halve
+# vreg pressure per stream and support more).
+N_STREAMS = int(__import__("os").environ.get("MONOGS_NSTREAMS", "2"))
 ACC_ROWS = 8  # accumulator partial-sum rows (one sublane group)
 _PAD = CHUNK * BLOCK  # L padding granularity (forward runs whole blocks)
 
@@ -126,13 +130,19 @@ def _red_rows(x):
     return x[0:ACC_ROWS, :]
 
 
-def _pixel_grid(tile: int, tx_n: int, tid):
-    """(1, tile*tile) pixel coordinates of tile `tid`."""
-    ox = ((tid % tx_n) * tile).astype(jnp.float32)
-    oy = ((tid // tx_n) * tile).astype(jnp.float32)
-    l = jax.lax.broadcasted_iota(jnp.int32, (1, tile * tile), 1)
-    px = ox + (l % tile).astype(jnp.float32)
-    py = oy + (l // tile).astype(jnp.float32)
+def _tile_wh(tile) -> Tuple[int, int]:
+    """Normalize the static `tile` arg: int (square) or (tile_w, tile_h)."""
+    return tile if isinstance(tile, tuple) else (tile, tile)
+
+
+def _pixel_grid(tile, tx_n: int, tid):
+    """(1, tile_w*tile_h) pixel coordinates of tile `tid` (row-major)."""
+    tw, th = _tile_wh(tile)
+    ox = ((tid % tx_n) * tw).astype(jnp.float32)
+    oy = ((tid // tx_n) * th).astype(jnp.float32)
+    l = jax.lax.broadcasted_iota(jnp.int32, (1, tw * th), 1)
+    px = ox + (l % tw).astype(jnp.float32)
+    py = oy + (l // tw).astype(jnp.float32)
     return px, py
 
 
@@ -162,7 +172,7 @@ def _blend_fwd_kernel(
     neff_ref,  # VMEM (N_STREAMS, 8, 128) int32 — effective chunks
     touch_ref=None,  # VMEM (N_STREAMS, l_max, 8) int32 — when emit_touch
     *,
-    tile: int,
+    tile,  # int (square) or (tile_w, tile_h)
     tx_n: int,
     l_max: int,
     alpha_clamp: float,
@@ -178,7 +188,8 @@ def _blend_fwd_kernel(
     Mosaic pipeline — measured 6.8 ms vs 3.9 ms on identical work), and
     the block compute is skipped entirely only when EVERY stream is done.
     """
-    p = tile * tile
+    tw, th = _tile_wh(tile)
+    p = tw * th
     i = pl.program_id(0)
     n = N_STREAMS
     grids = [_pixel_grid(tile, tx_n, n * i + j) for j in range(n)]
@@ -306,14 +317,15 @@ def _blend_bwd_kernel(
     g_alpha_ref,  # VMEM (N_STREAMS, 1, P)
     d_props_ref,  # VMEM (N_STREAMS, L, D_IN) output
     *,
-    tile: int,
+    tile,  # int (square) or (tile_w, tile_h)
     tx_n: int,
     l_max: int,
     alpha_clamp: float,
     alpha_min: float,
     t_min: float,
 ):
-    p = tile * tile
+    tw, th = _tile_wh(tile)
+    p = tw * th
     i = pl.program_id(0)
     n = N_STREAMS
     grids = [_pixel_grid(tile, tx_n, n * i + j) for j in range(n)]
@@ -469,7 +481,7 @@ def _forward(
     props: jnp.ndarray,  # (T, L, D_IN)
     counts: jnp.ndarray,  # (T,) int32
     tx_n: int,
-    tile: int,
+    tile,  # int (square) or (tile_w, tile_h)
     alpha_clamp: float,
     alpha_min: float,
     t_min: float,
@@ -488,7 +500,8 @@ def _forward(
     props, counts, t = _pad_tiles(props, counts)
     t_pad = props.shape[0]
     grid = t_pad // N_STREAMS
-    p = tile * tile
+    tw, th = _tile_wh(tile)
+    p = tw * th
     kernel = functools.partial(
         _blend_fwd_kernel,
         tile=tile,
@@ -629,7 +642,8 @@ def _bwd_rule(tx_n, tile, alpha_clamp, alpha_min, t_min, residuals, cotangents):
             )
         return x
 
-    p = tile * tile
+    tw, th = _tile_wh(tile)
+    p = tw * th
     ns = N_STREAMS
     kernel = functools.partial(
         _blend_bwd_kernel,

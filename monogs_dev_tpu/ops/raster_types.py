@@ -12,8 +12,14 @@ import jax.numpy as jnp
 class RasterConfig:
     """Static rasterizer configuration (hashable; participates in jit keys).
 
-    tile:          square pixel tile edge (16 matches the CUDA reference's
+    tile:          tile WIDTH in pixels (16 matches the CUDA reference's
                    16x16 tiles; 256 px/tile = 2 TPU vector lanes of 128).
+    tile_h:        tile HEIGHT; 0 means square (= tile). A 16x8 tile puts
+                   exactly one 128-lane vreg row of pixels per tile: per-
+                   chunk VPU work halves while wasted tile-box pixels
+                   shrink (the blend processes every (entry, pixel) pair of
+                   a tile, and a gaussian's footprint box overlaps less of
+                   a smaller tile).
     max_per_tile:  per-tile Gaussian list capacity L. Overflow entries are
                    dropped back-to-front (counted in telemetry).
     k_dup:         max tiles a single Gaussian may be binned into. Span
@@ -22,6 +28,7 @@ class RasterConfig:
     """
 
     tile: int = 16
+    tile_h: int = 0
     max_per_tile: int = 1024
     k_dup: int = 16
     tile_group: int = 60

@@ -35,7 +35,7 @@ and returned as telemetry, never silent.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,9 +57,15 @@ class Binning(NamedTuple):
     tile_overflow: jnp.ndarray  # ()
 
 
-def _grid_dims(intr: Intrinsics, tile: int):
-    tx_n = -(-intr.width // tile)
-    ty_n = -(-intr.height // tile)
+def tile_wh(config: RasterConfig) -> Tuple[int, int]:
+    """(tile_w, tile_h); tile_h == 0 means square tiles."""
+    return config.tile, config.tile_h or config.tile
+
+
+def _grid_dims(intr: Intrinsics, tile_w: int, tile_h: int | None = None):
+    th = tile_h if tile_h is not None else tile_w
+    tx_n = -(-intr.width // tile_w)
+    ty_n = -(-intr.height // th)
     return tx_n, ty_n, tx_n * ty_n
 
 
@@ -74,9 +80,9 @@ def build_binning(
     `dilate` (pixels) enlarges each Gaussian's tile rectangle so the binning
     stays valid while the pose drifts during a tracking loop.
     """
-    tile = config.tile
+    tw, th = tile_wh(config)
     l_max = config.max_per_tile
-    tx_n, ty_n, n_tiles = _grid_dims(intr, tile)
+    tx_n, ty_n, n_tiles = _grid_dims(intr, tw, th)
     n = proj.means2d.shape[0]
 
     m = jax.lax.stop_gradient(proj.means2d)
@@ -89,10 +95,10 @@ def build_binning(
     r = r[order]
     val = proj.valid[order]
 
-    tx0 = jnp.clip(jnp.floor((m[:, 0] - r) / tile), 0, tx_n - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((m[:, 0] + r) / tile), 0, tx_n - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((m[:, 1] - r) / tile), 0, ty_n - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((m[:, 1] + r) / tile), 0, ty_n - 1).astype(jnp.int32)
+    tx0 = jnp.clip(jnp.floor((m[:, 0] - r) / tw), 0, tx_n - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((m[:, 0] + r) / tw), 0, tx_n - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((m[:, 1] - r) / th), 0, ty_n - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((m[:, 1] + r) / th), 0, ty_n - 1).astype(jnp.int32)
     wrect = tx1 - tx0 + 1
     span = wrect * (ty1 - ty0 + 1)
     span_cap = jnp.minimum(span, config.k_dup)
@@ -120,10 +126,10 @@ def build_binning(
         # slack absorbs the (second-order) conic drift.
         con = jax.lax.stop_gradient(proj.conic)[order]
         opa = jax.lax.stop_gradient(proj.opacity)[order]
-        bx0 = (txk * tile).astype(jnp.float32) - dilate
-        bx1 = (txk * tile + (tile - 1)).astype(jnp.float32) + dilate
-        by0 = (tyk * tile).astype(jnp.float32) - dilate
-        by1 = (tyk * tile + (tile - 1)).astype(jnp.float32) + dilate
+        bx0 = (txk * tw).astype(jnp.float32) - dilate
+        bx1 = (txk * tw + (tw - 1)).astype(jnp.float32) + dilate
+        by0 = (tyk * th).astype(jnp.float32) - dilate
+        by1 = (tyk * th + (th - 1)).astype(jnp.float32) + dilate
         dx0 = bx0 - m[:, 0:1]
         dx1 = bx1 - m[:, 0:1]
         dy0 = by0 - m[:, 1:2]
@@ -303,8 +309,8 @@ def render_binned(
     count is zeroed, so the blend kernel skips every chunk) — bit-exact for
     any loss that is masked to the same pixels. Used by the tracking loop,
     whose loss is gated on the Scharr edge mask everywhere."""
-    tile = config.tile
-    tx_n, ty_n, n_tiles = _grid_dims(intr, tile)
+    tw, th = tile_wh(config)
+    tx_n, ty_n, n_tiles = _grid_dims(intr, tw, th)
     h, w = intr.height, intr.width
     n = means2d.shape[0]
     l_max = config.max_per_tile
@@ -332,7 +338,7 @@ def render_binned(
                 t_props,
                 binning.counts,
                 tx_n,
-                tile,
+                (tw, th),
                 config.alpha_clamp,
                 config.alpha_min,
                 config.transmittance_min,
@@ -342,7 +348,7 @@ def render_binned(
                 t_props,
                 binning.counts,
                 tx_n,
-                tile,
+                (tw, th),
                 config.alpha_clamp,
                 config.alpha_min,
                 config.transmittance_min,
@@ -353,18 +359,18 @@ def render_binned(
         colors = colors + (1.0 - alphas[..., None]) * bg_color
     else:
         colors, depths, alphas, touch = _blend_xla(
-            t_props, config, tile, tx_n, n_tiles, bg_color
+            t_props, config, (tw, th), tx_n, n_tiles, bg_color
         )
 
     def tiles_to_image(x):
-        c = x.shape[3:]  # x: (n_tiles, tile, tile, *c)
-        img = x.reshape((ty_n, tx_n, tile, tile) + c)
-        img = jnp.moveaxis(img, 2, 1).reshape((ty_n * tile, tx_n * tile) + c)
+        c = x.shape[3:]  # x: (n_tiles, tile_h, tile_w, *c)
+        img = x.reshape((ty_n, tx_n, th, tw) + c)
+        img = jnp.moveaxis(img, 2, 1).reshape((ty_n * th, tx_n * tw) + c)
         return img[:h, :w]
 
-    color_img = tiles_to_image(colors.reshape(n_tiles, tile, tile, 3))
-    depth_img = tiles_to_image(depths.reshape(n_tiles, tile, tile))
-    alpha_img = tiles_to_image(alphas.reshape(n_tiles, tile, tile))
+    color_img = tiles_to_image(colors.reshape(n_tiles, th, tw, 3))
+    depth_img = tiles_to_image(depths.reshape(n_tiles, th, tw))
+    alpha_img = tiles_to_image(alphas.reshape(n_tiles, th, tw))
 
     if need_touched:
         cnt = jnp.zeros((n + 1,), jnp.int32).at[binning.idx_table.reshape(-1)].add(
@@ -418,14 +424,15 @@ def render_tiled(
 
 def _blend_xla(t_props, config, tile, tx_n, n_tiles, bg_color):
     """Dense XLA blend (emits n_touched); the Pallas kernel is the hot path."""
-    p = tile * tile
+    tw, th = tile if isinstance(tile, tuple) else (tile, tile)
+    p = tw * th
     t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     origins = jnp.stack(
-        [(t_ids % tx_n) * tile, (t_ids // tx_n) * tile], axis=-1
+        [(t_ids % tx_n) * tw, (t_ids // tx_n) * th], axis=-1
     ).astype(jnp.float32)
     ly, lx = jnp.meshgrid(
-        jnp.arange(tile, dtype=jnp.float32),
-        jnp.arange(tile, dtype=jnp.float32),
+        jnp.arange(th, dtype=jnp.float32),
+        jnp.arange(tw, dtype=jnp.float32),
         indexing="ij",
     )
     local = jnp.stack([lx.reshape(-1), ly.reshape(-1)], axis=-1)  # (P, 2)

@@ -204,3 +204,96 @@ class TestMisc:
         lr1 = exponential_lr(jnp.array(100), 1e-2, 1e-4, max_steps=100)
         np.testing.assert_allclose(float(lr0), 1e-2, rtol=1e-5)
         np.testing.assert_allclose(float(lr1), 1e-4, rtol=1e-5)
+
+
+class TestResizeCompact:
+    """Mapping capacity tiers (models/gaussians.py resize_map/compact_map):
+    the static row count tracks the alive set instead of worst-case
+    capacity; growing pads with inactive defaults, compaction stably packs
+    active rows to the prefix and returns the permutation for host-side
+    per-row vectors."""
+
+    def _map_with_holes(self, capacity=256, n=100, prune_every=3):
+        from monogs_dev_tpu.models.gaussians import compact_map, resize_map  # noqa
+
+        gmap = create_map(capacity, 0)
+        batch = make_batch(n, jax.random.PRNGKey(0))
+        gmap, _ = insert_points(gmap, batch, jnp.ones(n, bool), kf_id=7)
+        prune = (jnp.arange(capacity) % prune_every == 1) & gmap.aux.active
+        return prune_mask_apply(gmap, prune)
+
+    def test_resize_grow_preserves_rows_and_defaults(self):
+        from monogs_dev_tpu.models.gaussians import resize_map
+
+        gmap = self._map_with_holes()
+        big = resize_map(gmap, 512)
+        assert big.aux.active.shape[0] == 512
+        np.testing.assert_array_equal(
+            np.asarray(big.aux.active[:256]), np.asarray(gmap.aux.active)
+        )
+        assert not bool(big.aux.active[256:].any())
+        # padded rows carry create_map defaults (render-inert)
+        np.testing.assert_allclose(np.asarray(big.params.opacity_logit[256:]), -10.0)
+        np.testing.assert_allclose(np.asarray(big.params.log_scales[256:]), -10.0)
+        np.testing.assert_array_equal(np.asarray(big.aux.kf_id[256:]), -1)
+        np.testing.assert_allclose(
+            np.asarray(big.params.xyz[:256]), np.asarray(gmap.params.xyz)
+        )
+        np.testing.assert_allclose(
+            np.asarray(big.moments.mu.xyz[:256]), np.asarray(gmap.moments.mu.xyz)
+        )
+
+    def test_compact_packs_active_prefix_stably(self):
+        from monogs_dev_tpu.models.gaussians import compact_map
+
+        gmap = self._map_with_holes()
+        alive = int(np.asarray(gmap.aux.active).sum())
+        small, perm = compact_map(gmap, 128)
+        assert alive <= 128
+        active_s = np.asarray(small.aux.active)
+        # all alive rows packed to the prefix
+        assert active_s[:alive].all() and not active_s[alive:].any()
+        # permutation is stable over the original active rows
+        perm_np = np.asarray(perm)
+        orig_active_rows = np.flatnonzero(np.asarray(gmap.aux.active))
+        np.testing.assert_array_equal(perm_np[:alive], orig_active_rows)
+        # row payloads follow the permutation (params + moments + aux)
+        np.testing.assert_allclose(
+            np.asarray(small.params.xyz[:alive]),
+            np.asarray(gmap.params.xyz)[orig_active_rows],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(small.aux.kf_id[:alive]),
+            np.asarray(gmap.aux.kf_id)[orig_active_rows],
+        )
+        np.testing.assert_allclose(
+            np.asarray(small.moments.nu.opacity_logit[:alive]),
+            np.asarray(gmap.moments.nu.opacity_logit)[orig_active_rows],
+        )
+
+    def test_compact_then_render_matches(self):
+        """Compaction is render-invariant: same image from the packed map."""
+        import jax as _jax
+
+        from monogs_dev_tpu.models import Intrinsics
+        from monogs_dev_tpu.models.gaussians import compact_map
+        from monogs_dev_tpu.ops import RasterConfig, render_tiled
+        from monogs_dev_tpu.data.synthetic import make_synthetic_scene
+
+        intr = Intrinsics(fx=70.0, fy=70.0, cx=40.0, cy=32.0, width=80, height=64)
+        rcfg = RasterConfig(tile=16, max_per_tile=128, k_dup=8, tile_group=10)
+        params, active = make_synthetic_scene(_jax.random.PRNGKey(3), n=200, scale=0.08)
+        gmap = create_map(1024, 0)
+        gmap, _ = insert_points(gmap, params, active, kf_id=0)
+        prune = (jnp.arange(1024) % 5 == 2) & gmap.aux.active
+        gmap = prune_mask_apply(gmap, prune)
+        ref = render_tiled(
+            gmap.params, gmap.aux.active, jnp.eye(4), intr, 0, config=rcfg
+        )
+        small, _ = compact_map(gmap, 256)
+        out = render_tiled(
+            small.params, small.aux.active, jnp.eye(4), intr, 0, config=rcfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.color), np.asarray(ref.color), atol=1e-5
+        )

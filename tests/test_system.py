@@ -258,3 +258,71 @@ class TestMonoSurfaceAccuracy:
         )
         slam.stop()
         assert ate < 0.35, f"mono surface ATE {ate * 100:.1f} cm >= 35 cm"
+
+
+class TestMappingCapacityTier:
+    """Round-3 perf lever: after full-window prunes the backend compacts the
+    map to a smaller static row count (backend.py _maybe_compact), growing
+    back under insert/densify pressure. The run must stay healthy across a
+    compaction: poses finite, keyframes keep flowing, visibility vectors
+    stay capacity-padded for the keyframe-policy numpy ops."""
+
+    def test_compaction_fires_and_run_continues(self):
+        cfg = tiny_config()
+        slam = SLAM(cfg, save_dir=None)
+        slam.run(max_frames=16)
+        e = slam.engine
+        from monogs_dev_tpu.core.backend import _next_pow2
+
+        alive = int(np.asarray(e.gmap.aux.active).sum())
+        kf_insert = (e.intr.height * e.intr.width) // e.pcd_downsample
+        headroom = min(6144, e.capacity // 8)
+        # pick the smallest tier the engine's own hysteresis accepts
+        e.tier_small = min(
+            _next_pow2(alive + kf_insert + headroom), e.capacity
+        )
+        assert e.tier_small < e.capacity, "scene too dense for the test"
+        slam.run(max_frames=30)
+        assert e.telemetry["map_compactions"] >= 1
+        rows = e.gmap.aux.active.shape[0]
+        assert rows < e.capacity
+        fe = slam.frontend
+        assert len(fe.kf_indices) >= 3
+        for cam in fe.cameras.values():
+            assert np.all(np.isfinite(cam.T_est))
+        # host-side visibility vectors stay capacity-padded after the
+        # permutation (frontend policy compares them against padded touched)
+        for v in e.occ_aware_visibility.values():
+            assert np.asarray(v).shape[0] == e.capacity
+        # nothing visible can live past the compacted tier
+        for v in e.occ_aware_visibility.values():
+            assert not np.asarray(v)[rows:].any()
+        slam.stop()
+
+    def test_grow_back_under_insert_pressure(self):
+        cfg = tiny_config()
+        slam = SLAM(cfg, save_dir=None)
+        slam.run(max_frames=10)
+        e = slam.engine
+        from monogs_dev_tpu.models.gaussians import compact_map
+
+        # force an implausibly tight tier, then let a keyframe insert grow it
+        alive = int(np.asarray(e.gmap.aux.active).sum())
+        from monogs_dev_tpu.core.backend import _next_pow2
+
+        tight = _next_pow2(alive + 8)
+        gmap, perm = compact_map(e.gmap, tight)
+        e.gmap = gmap
+        perm_np = np.asarray(perm)
+        for k, v in list(e.occ_aware_visibility.items()):
+            vv = np.asarray(v)
+            out = np.zeros(e.capacity, bool)
+            out[:tight] = vv[perm_np[:tight]]
+            e.occ_aware_visibility[k] = out
+        slam.run(max_frames=30)
+        assert e.telemetry["map_grows"] >= 1
+        assert e.gmap.aux.active.shape[0] == e.capacity
+        assert np.all(
+            [np.isfinite(c.T_est).all() for c in slam.frontend.cameras.values()]
+        )
+        slam.stop()

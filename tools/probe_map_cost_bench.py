@@ -15,7 +15,7 @@ from monogs_dev_tpu.core.mapping import (
     KeyframeBatch, make_keyframe_opt_state, mapping_iterations,
 )
 
-CAP = 32768
+CAP = int(os.environ.get("PROBE_CAP", 32768))
 H, W = 480, 640
 B = 8
 intr = Intrinsics(fx=576.0, fy=576.0, cx=320.0, cy=240.0, width=W, height=H)
@@ -40,6 +40,7 @@ T_all = jnp.stack(poses)
 jax.block_until_ready(images)
 print("scene ready", flush=True)
 
+print("CAP", CAP, flush=True)
 for n_valid in (8,):
     for iters in (0, 1, 5, 25):
         valid = np.zeros(B, bool); valid[:n_valid] = True

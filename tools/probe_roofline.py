@@ -50,16 +50,19 @@ from monogs_dev_tpu.ops.rasterize import _tile_gather, build_binning, render_bin
 
 N = int(os.environ.get("MONOGS_N", "32768"))
 TILE_ENV = int(os.environ.get("MONOGS_TILE", "16"))
+TILE_H_ENV = int(os.environ.get("MONOGS_TILE_H", "0"))  # 0 = square
 L = int(os.environ.get("MONOGS_L", "512"))
 KDUP = int(os.environ.get("MONOGS_KDUP", "8"))
 SCALE = float(os.environ.get("MONOGS_SCALE", "0.03"))
 
 intr = Intrinsics(fx=576.0, fy=576.0, cx=320.0, cy=240.0, width=640, height=480)
-cfg = RasterConfig(tile=TILE_ENV, max_per_tile=L, k_dup=KDUP, tile_group=60)
-TILE = cfg.tile
-P = TILE * TILE
-TX_N = -(-intr.width // TILE)
-N_TILES = TX_N * (-(-intr.height // TILE))
+cfg = RasterConfig(tile=TILE_ENV, tile_h=TILE_H_ENV, max_per_tile=L,
+                   k_dup=KDUP, tile_group=60)
+TILE_W, TILE_HH = cfg.tile, cfg.tile_h or cfg.tile
+TILE = TILE_W if TILE_HH == TILE_W else (TILE_W, TILE_HH)
+P = TILE_W * TILE_HH
+TX_N = -(-intr.width // TILE_W)
+N_TILES = TX_N * (-(-intr.height // TILE_HH))
 
 # FLOP model per (entry, pixel), counted from ops/blend_pallas.py kernels.
 # Forward _chunk_alpha: dx,dy(2) power(9) opa*G+min+masks(6); cumprod
@@ -149,7 +152,7 @@ def main():
     util = float(jnp.sum(touch)) / max(n_entries * P, 1)
     print(f"pixel utilization (touch / entry-pixels): {util:.3f}", flush=True)
     for am in (2.0 / 255.0, 4.0 / 255.0, 8.0 / 255.0):
-        cfg_am = RasterConfig(tile=TILE_ENV, max_per_tile=L, k_dup=KDUP,
+        cfg_am = RasterConfig(tile=TILE_ENV, tile_h=TILE_H_ENV, max_per_tile=L, k_dup=KDUP,
                               tile_group=60, alpha_min=am)
         b_am = jax.jit(lambda: build_binning(proj0, intr, cfg_am))()
         print(
