@@ -55,15 +55,30 @@ def child() -> None:
 
     # ... then run the pipeline until it reaches steady state: at least
     # n_warm_min frames AND past monocular initialization (the one-time
-    # init-BA burst must not land inside the measured window)
+    # init-BA burst must not land inside the measured window). The whole
+    # warmup runs under CompileCounter: any compile caught here is a
+    # PREWARM MISS — a production dispatch whose jit signature diverged
+    # from what prewarm compiled (exactly what silently killed the round-3
+    # bench, VERDICT r3 Weak #1). Reported loudly BEFORE the measured
+    # window so the failure mode is diagnosable from the bench log alone.
     frame = n_warm_min
-    slam.frontend.run(max_frames=frame)
-    while not (slam.frontend.initialized and slam.engine.initialized):
-        if frame + 5 + n_meas > n_total:
-            break
-        frame += 5
+    with CompileCounter() as warm_cc:
         slam.frontend.run(max_frames=frame)
-        print(f"bench: warmup extended to {frame}", flush=True)
+        while not (slam.frontend.initialized and slam.engine.initialized):
+            if frame + 5 + n_meas > n_total:
+                break
+            frame += 5
+            slam.frontend.run(max_frames=frame)
+            print(f"bench: warmup extended to {frame}", flush=True)
+    if warm_cc.count:
+        print(
+            f"bench: PREWARM MISS — {warm_cc.count} compiles during warmup "
+            f"(signature drift between prewarm and production dispatch): "
+            f"{warm_cc.names[:12]}",
+            flush=True,
+        )
+    else:
+        print("bench: prewarm self-check clean (0 warmup compiles)", flush=True)
     print(f"bench: warmup done at frame {frame}", flush=True)
 
     # measured steady-state window; assert zero compiles inside it

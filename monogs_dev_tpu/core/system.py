@@ -160,7 +160,7 @@ class SLAM:
         from ..models.gaussians import (
             compact_map,
             create_map,
-            insert_points,
+            insert_points_evict,
             resize_map,
         )
         from ..utils.device_lock import DEVICE_LOCK
@@ -186,24 +186,35 @@ class SLAM:
 
         with DEVICE_LOCK:
             gmap = create_map(e.capacity, cfg.sh_degree)
-            # seed a few active gaussians so programs exercise real paths
-            budgets = sorted(
-                {
-                    _next_pow2(max(int(2 * h * w / e.pcd_downsample_init), 256)),
-                    _next_pow2(max(int(2 * h * w / e.pcd_downsample), 256)),
-                }
-            )
+            # seed a few active gaussians so programs exercise real paths.
+            # Budget/downsample pairs mirror add_next_kf exactly: the INIT
+            # insert (frame 0) and the normal keyframe insert are separate
+            # compiled shapes, and production always dispatches the jitted
+            # insert_points_evict variant (backend.py:337) — prewarm that
+            # one, at full capacity, for both budgets
+            pairs = [
+                (e.pcd_downsample_init, True),
+                (e.pcd_downsample, False),
+            ]
             image = jnp.zeros((h, w, 3)) + 0.5
             depth = jnp.full((h, w), 2.0)
-            for budget, downsample in zip(
-                budgets, [e.pcd_downsample_init, e.pcd_downsample]
-            ):
+            new_params = valid = None
+            seen_budgets = set()
+            for downsample, _is_init in pairs:
+                budget = _next_pow2(max(int(2 * h * w / downsample), 256))
+                if budget in seen_budgets:
+                    continue
+                seen_budgets.add(budget)
                 new_params, valid = new_points_from_frame(
                     rng, image, depth, jnp.zeros(2), jnp.eye(4), intr,
                     cfg.sh_degree, budget, downsample, e.point_size,
                     e.adaptive_pointsize,
                 )
-                gmap, _ = insert_points(gmap, new_params, valid, 0)
+                gmap, _, _ = insert_points_evict(gmap, new_params, valid, 0)
+                jax.block_until_ready(gmap.params.xyz)
+            # `new_params` is left holding the NORMAL-keyframe budget shape
+            # (last pair) — the tier-small evict prewarm below must match
+            # the production keyframe-insert shape, not the init one
 
             # tracking program (grad mask computed in-program), one compile
             # per capacity tier the frontend can dispatch
@@ -327,8 +338,6 @@ class SLAM:
                 jax.block_until_ready(regrown.params.xyz)
                 # keyframe insertion at the small tier (first post-compaction
                 # keyframe otherwise compiles inside the measured window)
-                from ..models.gaussians import insert_points_evict
-
                 gm2, _, _ = insert_points_evict(
                     gmap_small, new_params, valid, 1
                 )

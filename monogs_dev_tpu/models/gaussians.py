@@ -326,8 +326,22 @@ def insert_points(
     return GaussianMap(params, aux, AdamMoments(mu, nu, gmap.moments.count)), n_dropped
 
 
-@jax.jit
 def insert_points_evict(
+    gmap: GaussianMap,
+    new_params: GaussianParams,
+    valid: jnp.ndarray,
+    kf_id,
+) -> Tuple[GaussianMap, jnp.ndarray, jnp.ndarray]:
+    """Dispatch-boundary shim: strong-typed kf_id so every caller (prewarm,
+    backend, tests) shares one jit cache entry (core/mapping.py
+    mapping_iterations docstring documents the failure mode)."""
+    return _insert_points_evict_jit(
+        gmap, new_params, jnp.asarray(valid, bool), jnp.asarray(kf_id, jnp.int32)
+    )
+
+
+@jax.jit
+def _insert_points_evict_jit(
     gmap: GaussianMap,
     new_params: GaussianParams,
     valid: jnp.ndarray,
