@@ -85,6 +85,7 @@ def child() -> None:
     fps = 0.0
     for attempt in range(2):
         snap = slam.timers.snapshot()
+        tel0 = dict(slam.engine.telemetry)
         with CompileCounter() as cc:
             t0 = time.time()
             slam.frontend.run(max_frames=frame + n_meas)
@@ -101,6 +102,15 @@ def child() -> None:
             f"bench: steady split {json.dumps(slam.timers.delta_summary(snap))}",
             flush=True,
         )
+        tel = {
+            k: round(v - tel0.get(k, 0), 3) if isinstance(v, (int, float)) else v
+            for k, v in slam.engine.telemetry.items()
+        }
+        tel["alive"] = int(
+            __import__("numpy").asarray(slam.engine.gmap.aux.active).sum()
+        )
+        tel["map_rows"] = slam.engine.map_rows()
+        print(f"bench: window telemetry {json.dumps(tel)}", flush=True)
         print(f"bench: timers {json.dumps(slam.timers.summary())}", flush=True)
         frame += n_meas
         if cc.count == 0:

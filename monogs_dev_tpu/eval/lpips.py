@@ -12,6 +12,19 @@ Weights resolution order:
      (produced by tools/export_lpips_npz.py from torchvision+lpips — the
      canonical AlexNet-LPIPS v0.1 weights; ~9 MB, not redistributable in
      this offline container),
+
+     Why the npz cannot be produced here (verified 2026-08-20): the
+     canonical weights are the torchvision AlexNet ImageNet checkpoint
+     plus the lpips package's v0.1 linear heads, both fetched over the
+     network on first use. This container has zero egress, torchvision
+     and lpips are not installed (torch 2.13 cpu is, without weights),
+     and an exhaustive disk search found no cached copy: no
+     ~/.cache/torch hub dir, no *.pth checkpoints anywhere on the
+     filesystem, nothing matching *alexnet* or *lpips*. There is no
+     transcription source. Run tools/export_lpips_npz.py in any
+     networked environment and drop the npz next to this file; the
+     loader and the "alexnet-lpips-v0.1" tag path are tested
+     (tests/test_lpips.py::test_npz_weights_are_loaded_and_tagged).
   2. otherwise a DETERMINISTIC He-initialized random backbone with uniform
      lin weights ("alexnet-random"). Random-feature perceptual distances
      correlate with human judgments well above pixel metrics (Zhang et al.

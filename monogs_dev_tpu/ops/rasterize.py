@@ -422,6 +422,88 @@ def render_tiled(
     )
 
 
+def render_median_depth(
+    params: GaussianParams,
+    active: jnp.ndarray,
+    T_w2c: jnp.ndarray,
+    intr: Intrinsics,
+    config: RasterConfig = RasterConfig(),
+) -> jnp.ndarray:
+    """Per-pixel MEDIAN depth: the z of the gaussian where the cumulative
+    blend weight first crosses half the pixel's total weight.
+
+    Offline utility (sensor-style GT depth for fixture/synthetic data
+    generation) — NOT part of the SLAM hot path. The alpha-normalized
+    EXPECTED depth (RenderOutput.depth / alpha) blends depths across
+    silhouettes: a pixel half-covered by a near surface over a far one
+    reports a depth on neither surface, and back-projecting such maps at
+    keyframe insertion plants gaussians in free space (the suspected
+    mechanism behind the 10x fixture-vs-analytic ATE gap, BASELINE.md).
+    The median estimator instead returns the depth of an actual
+    contributing gaussian — the same spirit as a depth sensor measuring
+    the first surface (real TUM depth) and the reference's per-patch
+    median pseudo-depth (/root/reference/utils/slam_frontend.py:63-104).
+    Pixels with zero accumulated weight return 0 (no-hit convention)."""
+    proj = project_gaussians(params, active, T_w2c, intr, 0)
+    binning = build_binning(proj, intr, config)
+    tw, th = tile_wh(config)
+    tx_n, ty_n, n_tiles = _grid_dims(intr, tw, th)
+    h, w = intr.height, intr.width
+
+    props = jnp.concatenate(
+        [
+            proj.means2d,
+            proj.conic,
+            proj.color,
+            proj.opacity[:, None],
+            proj.depth[:, None],
+        ],
+        axis=-1,
+    )
+    props_pad = jnp.concatenate([props, jnp.zeros((1, 10), props.dtype)], axis=0)
+    t_props = _tile_gather(props_pad, binning.idx_table, binning.pos_table)
+
+    t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    origins = jnp.stack(
+        [(t_ids % tx_n) * tw, (t_ids // tx_n) * th], axis=-1
+    ).astype(jnp.float32)
+    ly, lx = jnp.meshgrid(
+        jnp.arange(th, dtype=jnp.float32),
+        jnp.arange(tw, dtype=jnp.float32),
+        indexing="ij",
+    )
+    local = jnp.stack([lx.reshape(-1), ly.reshape(-1)], axis=-1)
+
+    def one_tile(props_t, origin):
+        pix = origin[None, :] + local  # (P, 2)
+        mu, con = props_t[:, 0:2], props_t[:, 2:5]
+        opa, z = props_t[:, 8], props_t[:, 9]
+        dx = pix[None, :, 0] - mu[:, None, 0]  # (L, P)
+        dy = pix[None, :, 1] - mu[:, None, 1]
+        power = (
+            -0.5 * (con[:, None, 0] * dx * dx + con[:, None, 2] * dy * dy)
+            - con[:, None, 1] * dx * dy
+        )
+        alpha = jnp.minimum(config.alpha_clamp, opa[:, None] * jnp.exp(power))
+        alpha = jnp.where((power > 0.0) | (alpha < config.alpha_min), 0.0, alpha)
+        log_om = jnp.log1p(-alpha)
+        t_in = jnp.exp(jnp.cumsum(log_om, axis=0) - log_om)
+        wgt = jnp.where(t_in >= config.transmittance_min, alpha * t_in, 0.0)
+        cum = jnp.cumsum(wgt, axis=0)  # (L, P) depth-ordered (binning sorts)
+        total = cum[-1]
+        crossed = cum >= 0.5 * total[None, :]
+        first = jnp.argmax(crossed, axis=0)  # (P,)
+        dep = jnp.take_along_axis(
+            jnp.broadcast_to(z[:, None], wgt.shape), first[None, :], axis=0
+        )[0]
+        return jnp.where(total > 1e-6, dep, 0.0)
+
+    depths = jax.lax.map(one_tile, (t_props, origins))  # (T, P)
+    img = depths.reshape((ty_n, tx_n, th, tw))
+    img = jnp.moveaxis(img, 2, 1).reshape((ty_n * th, tx_n * tw))
+    return img[:h, :w]
+
+
 def _blend_xla(t_props, config, tile, tx_n, n_tiles, bg_color):
     """Dense XLA blend (emits n_touched); the Pallas kernel is the hot path."""
     tw, th = tile if isinstance(tile, tuple) else (tile, tile)

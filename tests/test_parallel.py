@@ -186,6 +186,7 @@ def test_densify_replicated_consistency(mesh8, scene_fixture):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow  # 60 DP steps on the virtual mesh
 def test_multi_step_convergence(mesh8):
     """A color-perturbed map optimized against GT renders must close most of
     the photometric gap over 25 sharded steps (the loss carries a constant
@@ -232,6 +233,7 @@ def test_multi_step_convergence(mesh8):
     assert gap_end < 0.5 * gap0, (floor, losses)
 
 
+@pytest.mark.slow
 def test_dp_refinement_converges_and_replicates(mesh8):
     """dp_refine_step: 8 devices each refine their own keyframe; the meaned
     psum gradient must drive the photometric loss down and keep the map
@@ -300,6 +302,7 @@ class TestEngineDPPath:
         slam.stop()
         return float(ate)
 
+    @pytest.mark.slow  # two full 12-frame SLAM runs (DP + single)
     def test_dp_matches_single_device_ate(self):
         ate_dp = self._run(mesh_devices=4)
         ate_single = self._run(mesh_devices=0)

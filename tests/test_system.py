@@ -76,6 +76,7 @@ class TestSingleThreadE2E:
 
 
 class TestTrackingCapacityTiers:
+    @pytest.mark.slow  # compiles a second (8192) program family
     def test_small_tier_used_and_padded(self):
         # capacity 8192 -> tiers [4096, 8192]; the tiny scene stays far
         # below 4096 alive, so tracking must run on the small tier while
@@ -198,6 +199,7 @@ class TestCheckpointResume:
     (incl. Adam moments) round-trips bitwise, keyframe images rebuild from
     the dataset, and the continued run keeps tracking/keyframing."""
 
+    @pytest.mark.slow  # two SLAM instances + 20-frame continuation
     def test_resume_continues_sequence(self, tmp_path):
         cfg = tiny_config()
         slam1 = SLAM(cfg, save_dir=None)
@@ -267,6 +269,7 @@ class TestMappingCapacityTier:
     compaction: poses finite, keyframes keep flowing, visibility vectors
     stay capacity-padded for the keyframe-policy numpy ops."""
 
+    @pytest.mark.slow  # 30-frame run + a fresh compacted-tier compile
     def test_compaction_fires_and_run_continues(self):
         cfg = tiny_config()
         slam = SLAM(cfg, save_dir=None)
@@ -299,6 +302,7 @@ class TestMappingCapacityTier:
             assert not np.asarray(v)[rows:].any()
         slam.stop()
 
+    @pytest.mark.slow  # 30-frame run + tight-tier compile
     def test_grow_back_under_insert_pressure(self):
         cfg = tiny_config()
         slam = SLAM(cfg, save_dir=None)

@@ -75,6 +75,12 @@ def _quat_wxyz(R: np.ndarray) -> np.ndarray:
 
 
 SWEEP = float(os.environ.get("MONOGS_FIXTURE_SWEEP", "0.45"))
+# "median" (default): per-pixel median depth — an actual surface sample,
+# like the sensor depth real TUM provides. "expected": alpha-normalized
+# expected depth, which blends across silhouettes and plants bogus points
+# at insertion (the 10x ATE gap of BASELINE.md; A/B in
+# tools/probe_fixture_depth.py).
+DEPTH_MODE = os.environ.get("MONOGS_FIXTURE_DEPTH", "median")
 
 for i in range(N_FRAMES):
     # constant cruise at the bench-calibrated keyframe cadence (~0.006
@@ -89,7 +95,16 @@ for i in range(N_FRAMES):
     )
     color = np.clip(np.asarray(out.color), 0.0, 1.0)
     alpha = np.asarray(out.alpha)
-    depth = np.asarray(out.depth) / np.maximum(alpha, 1e-6)
+    if DEPTH_MODE == "median":
+        from monogs_dev_tpu.ops.rasterize import render_median_depth
+
+        depth = np.asarray(
+            render_median_depth(
+                params, active, jnp.asarray(T_w2c, jnp.float32), intr, cfg
+            )
+        )
+    else:
+        depth = np.asarray(out.depth) / np.maximum(alpha, 1e-6)
     depth[alpha < 0.5] = 0.0
 
     ts = f"{i / 30.0:.6f}"
