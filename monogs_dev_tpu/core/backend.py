@@ -225,6 +225,7 @@ class BackendEngine:
         # drains the device queue between frames (each device_get is a
         # relay round-trip)
         self._standing = None
+        self._alive_after_prune = None  # post-prune alive count (mono path)
         self._zero_depth = None  # cached device zeros for mono slots
         self.telemetry = {
             "insert_dropped": 0,
@@ -279,7 +280,10 @@ class BackendEngine:
         target = self.tier_small
         if target >= rows:
             return
-        alive = int(jax.device_get(self.gmap.aux.active.sum()))
+        alive = getattr(self, "_alive_after_prune", None)
+        self._alive_after_prune = None  # consume-once (prune-fresh only)
+        if alive is None:
+            alive = int(jax.device_get(self.gmap.aux.active.sum()))
         # hysteresis: the compacted tier must hold the alive set PLUS one
         # keyframe insert (~H*W/downsample points) and densify headroom —
         # well below the grow trigger (free < insert estimate), so the tier
@@ -476,16 +480,23 @@ class BackendEngine:
         return batch, new_ids
 
     def _consume_chunk_telemetry(
-        self, out, chunk: int, densified: bool
-    ) -> None:
+        self, out, chunk: int, densified: bool, extra: tuple = ()
+    ) -> tuple:
         """Host fetch + adaptive-chunk feedback for ONE dispatched chunk.
 
         Called one chunk BEHIND the dispatch loop so the device queue never
         drains on this sync; the controller therefore reacts to the previous
-        chunk's drift, one decision late."""
-        n_dropped, drift_dev, bulk_dev, n_free = jax.device_get(
+        chunk's drift, one decision late.
+
+        `extra`: additional device arrays to fetch IN THE SAME device_get
+        (returned host-side) — every separate device_get is a full relay
+        round-trip, so sync points batch their pose/exposure writeback
+        fetch with the telemetry fetch."""
+        fetched = jax.device_get(
             (out.n_dropped, out.max_drift, out.bulk_drift, out.n_free)
+            + tuple(extra)
         )
+        n_dropped, drift_dev, bulk_dev, n_free = fetched[:4]
         self.telemetry["densify_dropped"] += int(n_dropped)
         if (int(n_dropped) > 0 or int(n_free) < 2048) and (
             self.map_rows() < self.capacity
@@ -524,6 +535,7 @@ class BackendEngine:
                 self._adaptive_chunk,
                 self.map_chunk,
             )
+        return fetched[4:]
 
     # ---------------------------------------------------------------- mapping
 
@@ -539,8 +551,11 @@ class BackendEngine:
         batch, slot_ids, pending, _ = st
         with DEVICE_LOCK:
             if pending is not None:
-                self._consume_chunk_telemetry(*pending)
-            T_np, exp_np = jax.device_get((batch.T_w2c, batch.exposure))
+                T_np, exp_np = self._consume_chunk_telemetry(
+                    *pending, extra=(batch.T_w2c, batch.exposure)
+                )
+            else:
+                T_np, exp_np = jax.device_get((batch.T_w2c, batch.exposure))
             self._writeback_np(T_np, exp_np, slot_ids)
 
     def map(
@@ -708,10 +723,11 @@ class BackendEngine:
             return last_batch, slot_ids
         if pending is not None:
             with DEVICE_LOCK:
-                self._consume_chunk_telemetry(*pending)
-                # ONE pose/exposure writeback per round (not per chunk)
-                T_np, exp_np = jax.device_get(
-                    (last_batch.T_w2c, last_batch.exposure)
+                # ONE pose/exposure writeback per round (not per chunk),
+                # fetched in the SAME device_get as the chunk telemetry —
+                # each separate get is a full relay round-trip
+                T_np, exp_np = self._consume_chunk_telemetry(
+                    *pending, extra=(last_batch.T_w2c, last_batch.exposure)
                 )
                 self._writeback_np(T_np, exp_np, slot_ids)
         return last_batch, slot_ids
@@ -890,12 +906,16 @@ class BackendEngine:
             self.prune_mode,
             self.cfg.monocular,
         )
+        self._alive_after_prune = None
         if self.cfg.monocular:
             # keep visibility vectors consistent with the pruned map
             # (one batched d2h fetch, then host numpy)
             active_np, prev_np = jax.device_get(
                 (self.gmap.aux.active, prev_active)
             )
+            # free alive count for _maybe_compact: saves that method's own
+            # relay round-trip on the (monocular) bench path
+            self._alive_after_prune = int(active_np.sum())
             kept = active_np | ~prev_np
             if kept.shape[0] < self.capacity:
                 # occ vectors are capacity-padded; rows past the tier were
@@ -1022,17 +1042,22 @@ class _BackendProtocol:
         e = self.engine
         if self.stopped or self.pause or not e.current_window or self.single_thread:
             return
-        # enqueue-only background round: no telemetry fetch, no pose
-        # writeback — the device queue stays full through the frontend's
-        # next tracking dispatch
-        e.map(iters=e.idle_iters, harvest=False, sync=False)
         # reference cadence: after 10 un-synced background iterations, a
         # 10-iteration prune pass + frontend sync (slam_backend.py:377-383);
-        # counted in iterations so idle_iters batching keeps the cadence
-        self.last_sent += e.idle_iters
-        if self.last_sent >= 10:
-            e.map(iters=10, prune=True)
+        # counted in iterations so idle_iters batching keeps the cadence.
+        # The round that CROSSES the threshold fuses its idle iterations
+        # with the prune pass into ONE dispatch round — same iteration
+        # count and prune/sync cadence, one fewer fixed per-dispatch cost
+        # (relay round-trip + standing-batch adoption) per sync cycle.
+        if self.last_sent + e.idle_iters >= 10:
+            e.map(iters=e.idle_iters + 10, prune=True)
             self.push_to_frontend()
+        else:
+            # enqueue-only background round: no telemetry fetch, no pose
+            # writeback — the device queue stays full through the
+            # frontend's next tracking dispatch
+            e.map(iters=e.idle_iters, harvest=False, sync=False)
+            self.last_sent += e.idle_iters
 
     def _handle(self, data) -> None:
         e = self.engine
