@@ -212,6 +212,10 @@ class SLAM:
                 )
                 gmap, _, _ = insert_points_evict(gmap, new_params, valid, 0)
                 jax.block_until_ready(gmap.params.xyz)
+                Log(
+                    f"prewarm: insert budget={budget} compiled "
+                    f"({time.time() - t_start:.1f}s)"
+                )
             # `new_params` is left holding the NORMAL-keyframe budget shape
             # (last pair) — the tier-small evict prewarm below must match
             # the production keyframe-insert shape, not the init one
@@ -281,6 +285,10 @@ class SLAM:
                     gmap, dummy_batch(b), self.engine.bg_color, cfg, intr, rcfg
                 )
                 jax.block_until_ready(vis)
+                # every compile gets its own line: the bench watchdog's
+                # stall detector is fed by output, and several silent
+                # multi-minute compiles in a row would kill a healthy child
+                Log(f"prewarm: harvest b={b} compiled ({time.time() - t_start:.1f}s)")
 
             pruned = visibility_prune(
                 gmap,
@@ -293,6 +301,7 @@ class SLAM:
                 cfg.monocular,
             )
             jax.block_until_ready(pruned.params.xyz)
+            Log(f"prewarm: prune compiled ({time.time() - t_start:.1f}s)")
 
             # tier-small variants (backend.py _maybe_compact): steady state
             # runs mapping/harvest/prune at the compacted row count with the
@@ -322,6 +331,7 @@ class SLAM:
                     intr, rcfg,
                 )
                 jax.block_until_ready(vis)
+                Log(f"prewarm: tier-small harvest compiled ({time.time() - t_start:.1f}s)")
                 pruned = visibility_prune(
                     gmap_small,
                     jnp.zeros((ws, e.tier_small), bool),
@@ -333,6 +343,7 @@ class SLAM:
                     cfg.monocular,
                 )
                 jax.block_until_ready(pruned.params.xyz)
+                Log(f"prewarm: tier-small prune compiled ({time.time() - t_start:.1f}s)")
                 # grow-back program (insert/densify pressure path)
                 regrown = resize_map(gmap_small, e.capacity)
                 jax.block_until_ready(regrown.params.xyz)
@@ -342,6 +353,7 @@ class SLAM:
                     gmap_small, new_params, valid, 1
                 )
                 jax.block_until_ready(gm2.params.xyz)
+                Log(f"prewarm: tier-small insert compiled ({time.time() - t_start:.1f}s)")
                 jax.block_until_ready(
                     jnp.asarray((~gmap_small.aux.active).sum())
                 )
