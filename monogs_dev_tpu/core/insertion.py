@@ -33,6 +33,39 @@ from ..models.gaussians import GaussianParams
 from ..ops.knn import mean_sq_dist_knn3
 
 
+def new_points_from_frame(
+    rng,
+    image,
+    depth_map,
+    exposure_ab,
+    T_w2c,
+    intr,
+    sh_degree,
+    budget,
+    downsample,
+    point_size,
+    adaptive_pointsize,
+):
+    """Dispatch-boundary shim: strong-typed array inputs + canonical
+    scalar typing so every caller shares one jit cache entry
+    (utils/jit_sig.py)."""
+    from ..utils.jit_sig import strongen
+
+    return _new_points_from_frame_jit(
+        strongen(rng),
+        strongen(image),
+        strongen(depth_map),
+        strongen(exposure_ab),
+        strongen(T_w2c),
+        intr,
+        int(sh_degree),
+        int(budget),
+        int(downsample),
+        jnp.asarray(point_size, jnp.float32),
+        bool(adaptive_pointsize),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -43,7 +76,7 @@ from ..ops.knn import mean_sq_dist_knn3
         "adaptive_pointsize",
     ),
 )
-def new_points_from_frame(
+def _new_points_from_frame_jit(
     rng: jax.Array,
     image: jnp.ndarray,  # (H, W, 3)
     depth_map: jnp.ndarray,  # (H, W); 0 = invalid
@@ -118,8 +151,30 @@ def new_points_from_frame(
     return params, sel_valid
 
 
-@jax.jit
 def pseudo_depth_map(
+    rng,
+    render_depth,
+    render_opacity,
+    gt_image,
+    fallback_depth=2.0,
+    rgb_boundary_threshold=0.01,
+):
+    """Dispatch-boundary shim (utils/jit_sig.py): one cache entry for all
+    callers."""
+    from ..utils.jit_sig import strongen
+
+    return _pseudo_depth_map_jit(
+        strongen(rng),
+        strongen(render_depth),
+        strongen(render_opacity),
+        strongen(gt_image),
+        jnp.asarray(fallback_depth, jnp.float32),
+        jnp.asarray(rgb_boundary_threshold, jnp.float32),
+    )
+
+
+@jax.jit
+def _pseudo_depth_map_jit(
     rng: jax.Array,
     render_depth: jnp.ndarray,  # (H, W) rendered depth at the new keyframe
     render_opacity: jnp.ndarray,  # (H, W)

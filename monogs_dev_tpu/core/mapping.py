@@ -140,14 +140,18 @@ def mapping_iterations(
     `iters=jnp.asarray(1, jnp.int32)` (strong int32) while the backend
     dispatched `iters=chunk` (Python int → weak int32), a different cache
     key, so the tier-small variant recompiled ~450 s inside the measured
-    window (VERDICT r3 Weak #1)."""
+    window (VERDICT r3 Weak #1). Array leaves additionally go through
+    `strongen` (utils/jit_sig.py): weak-typed ARRAYS (jnp.full without a
+    dtype) split the cache the same way weak scalars do."""
+    from ..utils.jit_sig import strongen
+
     return _mapping_iterations_jit(
-        gmap,
-        batch,
-        kf_state,
+        strongen(gmap),
+        strongen(batch),
+        strongen(kf_state),
         jnp.asarray(iteration_count, jnp.int32),
-        rng,
-        bg_color,
+        strongen(rng),
+        strongen(bg_color),
         jnp.asarray(gaussian_th, jnp.float32),
         jnp.asarray(gaussian_extent, jnp.float32),
         cfg,
@@ -548,8 +552,19 @@ def _mapping_iterations_jit(
     )
 
 
+def harvest_visibility(gmap, batch, bg_color, cfg, intr, raster_cfg):
+    """Dispatch-boundary shim (utils/jit_sig.py): one cache entry for all
+    callers."""
+    from ..utils.jit_sig import strongen
+
+    return _harvest_visibility_jit(
+        strongen(gmap), strongen(batch), strongen(bg_color), cfg, intr,
+        raster_cfg,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "intr", "raster_cfg"))
-def harvest_visibility(
+def _harvest_visibility_jit(
     gmap: GaussianMap,
     batch: KeyframeBatch,
     bg_color: jnp.ndarray,

@@ -197,7 +197,7 @@ class SLAM:
                 (e.pcd_downsample, False),
             ]
             image = jnp.zeros((h, w, 3)) + 0.5
-            depth = jnp.full((h, w), 2.0)
+            depth = jnp.full((h, w), 2.0, jnp.float32)
             new_params = valid = None
             seen_budgets = set()
             for downsample, _is_init in pairs:
@@ -242,7 +242,7 @@ class SLAM:
                 flags = jnp.arange(b) >= 0
                 return KeyframeBatch(
                     images=jnp.zeros((b, h, w, 3)),
-                    depths=jnp.full((b, h, w), 2.0),
+                    depths=jnp.full((b, h, w), 2.0, jnp.float32),
                     T_w2c=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
                     exposure=jnp.zeros((b, 2)),
                     valid=flags,
@@ -279,6 +279,33 @@ class SLAM:
                     f"prewarm: mapping variant b={b} init={init_mode} "
                     f"compiled ({time.time() - t_start:.1f}s)"
                 )
+
+            # remaining small programs a run dispatches (zero-compile
+            # warmup): rng split internals, the batch-slot update, and the
+            # tracking-tier high-water reduction at full capacity
+            _ka, _kb = jrandom.split(rng)  # unpack: compiles _unstack too
+            jax.block_until_ready(_ka)
+            from .backend import _set_batch_slot, _swap_random_slots
+            from .frontend import _high_water as _hw
+
+            for b in tiers:
+                imgs = jnp.zeros((b, h, w, 3))
+                deps = jnp.zeros((b, h, w))
+                out_slot = _set_batch_slot(
+                    imgs, deps, image, depth, jnp.asarray(0, jnp.int32)
+                )
+                jax.block_until_ready(out_slot[0])
+                swapped = _swap_random_slots(
+                    imgs, deps,
+                    jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
+                    jnp.zeros((b, 2)),
+                    jnp.zeros((2, h, w, 3)), jnp.zeros((2, h, w)),
+                    jnp.tile(jnp.eye(4)[None], (2, 1, 1)),
+                    jnp.zeros((2, 2)),
+                    jnp.asarray(0, jnp.int32),
+                )
+                jax.block_until_ready(swapped[0])
+            jax.block_until_ready(_hw(gmap.aux.active))
 
             for b in tiers:
                 vis = harvest_visibility(

@@ -108,10 +108,46 @@ def _scale_intrinsics(intr: Intrinsics, k: int) -> Intrinsics:
     )
 
 
+def track_frame(
+    params,
+    active,
+    T_init,
+    exposure_init,
+    image,
+    depth_gt,
+    grad_mask,
+    bg_color,
+    cfg,
+    intr,
+    raster_cfg,
+    use_depth,
+) -> "TrackResult":
+    """Dispatch-boundary shim: canonicalize every array input to a
+    strong-typed device array so prewarm and production share ONE jit
+    cache entry (utils/jit_sig.py documents the weak-type failure mode
+    that stalled the round-4 bench)."""
+    from ..utils.jit_sig import strongen
+
+    return _track_frame_jit(
+        strongen(params),
+        strongen(active),
+        strongen(T_init),
+        strongen(exposure_init),
+        strongen(image),
+        strongen(depth_gt),
+        strongen(grad_mask),
+        strongen(bg_color),
+        cfg,
+        intr,
+        raster_cfg,
+        use_depth=bool(use_depth),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("intr", "cfg", "raster_cfg", "use_depth")
 )
-def track_frame(
+def _track_frame_jit(
     params: GaussianParams,
     active: jnp.ndarray,
     T_init: jnp.ndarray,

@@ -149,3 +149,77 @@ class TestInsertEvictSignature:
         )
         jax.block_until_ready(g3.params.xyz)
         assert _insert_points_evict_jit._cache_size() == size0
+
+
+class TestWeakArrayInputs:
+    """Round-4 bench killer #2: jnp.full(shape, scalar) WITHOUT a dtype is
+    a WEAK-typed array; weak-vs-strong avals split the jit cache even for
+    arguments the lowered program prunes as unused (depth under
+    use_depth=False). The strongen shims (utils/jit_sig.py) must collapse
+    every such variant onto one compiled program."""
+
+    def test_track_frame_weak_depth_and_numpy_inputs_share_one_program(self):
+        from monogs_dev_tpu.core.tracking import track_frame, _track_frame_jit
+
+        gmap = tiny_map()
+        cfg = StepConfig(monocular=True, tracking_max_iters=3)
+        img_strong = jnp.zeros((32, 40, 3)) + 0.5
+        img_weak = jnp.full((32, 40, 3), 0.5)  # weak: no dtype given
+        dep_strong = jnp.zeros((32, 40), jnp.float32)
+        dep_weak = jnp.full((32, 40), 2.0)  # weak
+
+        def call(img, dep, T, e, bg):
+            r = track_frame(
+                gmap.params, gmap.aux.active, T, e, img, dep, None, bg,
+                cfg, INTR, RCFG, use_depth=False,
+            )
+            jax.block_until_ready(r.T_w2c)
+
+        call(img_strong, dep_strong, jnp.eye(4), jnp.zeros(2), jnp.zeros(3))
+        size0 = _track_frame_jit._cache_size()
+        # weak arrays, numpy arrays, weak bg — all must hit the same entry
+        call(img_weak, dep_weak, jnp.eye(4), jnp.zeros(2), jnp.zeros(3))
+        call(
+            img_strong, dep_strong, np.eye(4, dtype=np.float32),
+            np.zeros(2, np.float32), jnp.full((3,), 0.0),
+        )
+        assert _track_frame_jit._cache_size() == size0, (
+            "weak/numpy input styles split the track_frame jit cache"
+        )
+
+    def test_mapping_weak_batch_shares_one_program(self):
+        gmap = tiny_map()
+        kfs = make_keyframe_opt_state(3)
+        cfg, ocfg = StepConfig(monocular=True, window_slots=3), MapOptConfig()
+        common = dict(
+            update_every=100, update_offset=1, reset_interval=1000,
+            size_threshold=0.0, use_depth=False, init_mode=False,
+        )
+
+        def batch_with(depths):
+            flags = jnp.arange(3) >= 0
+            return KeyframeBatch(
+                images=jnp.zeros((3, 32, 40, 3)),
+                depths=depths,
+                T_w2c=jnp.tile(jnp.eye(4)[None], (3, 1, 1)),
+                exposure=jnp.zeros((3, 2)),
+                valid=flags,
+                optimize_pose=jnp.arange(3) > 0,
+                optimize_exposure=jnp.arange(3) > 0,
+                apply_exposure=flags,
+                harvest_visibility=flags,
+            )
+
+        def call(batch):
+            out = mapping_iterations(
+                gmap, batch, kfs, 0, jax.random.PRNGKey(1), jnp.zeros(3),
+                0.005, 6.0, cfg, ocfg, INTR, RCFG, iters=1, **common,
+            )
+            jax.block_until_ready(out.gmap.params.xyz)
+
+        call(batch_with(jnp.full((3, 32, 40), 2.0, jnp.float32)))  # strong
+        size0 = _mapping_iterations_jit._cache_size()
+        call(batch_with(jnp.full((3, 32, 40), 2.0)))  # weak
+        assert _mapping_iterations_jit._cache_size() == size0, (
+            "weak-typed batch depths split the mapping jit cache"
+        )
