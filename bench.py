@@ -42,13 +42,35 @@ def child() -> None:
     slam = SLAM(config, save_dir=None)
     print("bench: slam constructed", flush=True)
 
-    # pre-render the synthetic GT frames so dataset synthesis is not timed
+    # pre-render the synthetic GT frames so dataset synthesis is not timed.
+    # Disk-cached: a watchdog retry after a relay wedge must not re-pay 192
+    # relay renders (the round-4 first attempt stalled exactly here).
+    import numpy as _np
+
     n_total = len(slam.dataset)
-    for i in range(n_total):
-        slam.dataset.render_frame(i)
-        if i % 16 == 15:  # keep the watchdog's stall detector fed
-            print(f"bench: prerendered {i + 1}/{n_total}", flush=True)
-    print(f"bench: {n_total} frames prerendered", flush=True)
+    ds_cfg = config["Dataset"]
+    cache_key = "bench_frames_{}x{}_n{}_s{}_sw{}_{}".format(
+        ds_cfg["Calibration"]["width"], ds_cfg["Calibration"]["height"],
+        n_total, ds_cfg.get("seed", 0), ds_cfg.get("sweep", 1.2),
+        ds_cfg.get("profile", "none"),
+    )
+    cache_path = os.path.join("/tmp", cache_key + ".npz")
+    if os.path.exists(cache_path):
+        z = _np.load(cache_path)
+        for i in range(n_total):
+            slam.dataset._cache[i] = (z[f"c{i}"], z[f"d{i}"])
+        print(f"bench: {n_total} frames loaded from {cache_path}", flush=True)
+    else:
+        for i in range(n_total):
+            slam.dataset.render_frame(i)
+            if i % 16 == 15:  # keep the watchdog's stall detector fed
+                print(f"bench: prerendered {i + 1}/{n_total}", flush=True)
+        flat = {}
+        for i, (c, d) in slam.dataset._cache.items():
+            flat[f"c{i}"], flat[f"d{i}"] = c, d
+        _np.savez(cache_path + ".tmp", **flat)
+        os.replace(cache_path + ".tmp.npz", cache_path)
+        print(f"bench: {n_total} frames prerendered -> {cache_path}", flush=True)
 
     # compile every program variant up front (explicit AOT warmup) ...
     slam.prewarm()
