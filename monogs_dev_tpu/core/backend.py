@@ -79,22 +79,30 @@ def _swap_random_slots(images, depths, T, exposure, img2, dep2, T2, exp2, start)
 def next_chunk(
     chunk: int, drift: float, dilation: float, current: int, map_chunk: int
 ) -> int:
-    """Feedback control on the binning-reuse chunk length.
+    """PROPORTIONAL feedback control on the binning-reuse chunk length.
 
     Mapping reuses per-slot tile binnings for a whole chunk of Adam
     iterations; drift beyond the dilation margin silently truncates
-    gradients near tile borders, so the controller tracks the margin at
-    ~60% utilization. chunk=1 is gradient-exact by construction (the
-    binning is built from the very means that iteration renders), so
-    fast-motion phases (init BA, post-reset) may drive the chunk all the
-    way down; at chunk=1 the measured drift is per-iteration motion, so
-    regrow only once a 2-iteration chunk would stay well inside the
-    margin."""
-    if chunk > 1 and drift > 0.8 * dilation:
-        return max(1, chunk // 2)
-    if drift < (0.3 if chunk > 1 else 0.2) * dilation and current < map_chunk:
-        return min(map_chunk, current + (2 if chunk > 1 else 1))
-    return current
+    gradients near tile borders, so the controller targets ~60% margin
+    utilization: estimate the per-iteration bulk drift from the chunk
+    just measured and jump straight to the chunk length that fills 60%
+    of the dilation. Growth is damped to 2x per decision (the measurement
+    is one chunk old — BackendEngine._consume_chunk_telemetry); shrink
+    takes effect immediately.
+
+    The previous incremental form (halve on >0.8*dilation, +1 only when
+    drift < 0.2*dilation) pinned the chunk at 1 after init-BA: the p99.5
+    drift of ~100 young gaussians in cruise sits between the two gates
+    forever, and the round-4 bench window paid 81 dispatches for 96 map
+    iterations (~130 ms fixed cost each — the dominant pump term)."""
+    per_iter = drift / max(chunk, 1)
+    if per_iter <= 0.05 * dilation / max(map_chunk, 1):
+        target = map_chunk  # effectively stationary
+    else:
+        target = int(0.6 * dilation / per_iter)
+    if target > current:
+        target = min(target, max(current, 1) * 2)
+    return max(1, min(map_chunk, target))
 
 
 def _next_pow2(x: int) -> int:

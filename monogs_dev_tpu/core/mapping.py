@@ -108,6 +108,12 @@ class _Carry(NamedTuple):
     rng: jax.Array
     last_loss: jnp.ndarray
     n_dropped: jnp.ndarray
+    # per-slot binnings + the projected means/validity they were built from
+    # (loop-carried so the in-program rebin can refresh them mid-chunk;
+    # drift telemetry is measured against the LAST rebin)
+    binnings: object
+    means2d_at_bin: jnp.ndarray
+    valid_at_bin: jnp.ndarray
 
 
 def mapping_iterations(
@@ -302,14 +308,17 @@ def _mapping_iterations_jit(
 
     grad_fn = jax.value_and_grad(total_loss, argnums=(0, 1, 2, 3), has_aux=True)
 
-    # Per-slot binnings, built ONCE per program invocation and reused across
-    # all `iters` iterations (the dominant per-render fixed cost is the
-    # binning sort, and poses/means move a few pixels at most within a
-    # chunk — covered by the dilation margin + cull slack). The host splits
-    # chunks so densify/prune/opacity-reset events land on a chunk's LAST
-    # iteration (BackendEngine.map), so a topology change never renders
-    # against a stale binning. Unrolled (not lax.map: scan overhead doubles
-    # the cost) with a lax.cond skipping empty slots.
+    # Per-slot binnings, built once at program entry and reused across
+    # iterations (the dominant per-render fixed cost is the binning sort,
+    # and poses/means move a few pixels at most between rebins — covered by
+    # the dilation margin + cull slack). With cfg.mapping_rebin_every > 0
+    # they are additionally REBUILT INSIDE the loop on that cadence and
+    # after every densify/reset (see body), decoupling host chunk length
+    # from drift; with 0 the host splits chunks so densify/prune/reset
+    # events land on a chunk's LAST iteration (BackendEngine.map), so a
+    # topology change never renders against a stale binning. Unrolled (not
+    # lax.map: scan overhead doubles the cost) with a lax.cond skipping
+    # empty slots.
     from ..ops.rasterize import tile_wh
 
     tw, th = tile_wh(raster_cfg)
@@ -318,12 +327,10 @@ def _mapping_iterations_jit(
     n_tiles = tx_n * ty_n
     l_max = raster_cfg.max_per_tile
 
-    def slot_binning(T0, valid):
+    def slot_binning(params, active, T0, valid):
         def live(_):
             proj = jax.lax.stop_gradient(
-                project_gaussians(
-                    gmap.params, gmap.aux.active, T0, intr, cfg.sh_degree
-                )
+                project_gaussians(params, active, T0, intr, cfg.sh_degree)
             )
             binning = build_binning(
                 proj, intr, raster_cfg, dilate=cfg.mapping_rebin_dilation
@@ -349,14 +356,22 @@ def _mapping_iterations_jit(
 
         return jax.lax.cond(valid, live, dead, None)
 
-    slot_bins = [
-        slot_binning(batch.T_w2c[i], batch.valid[i]) for i in range(b)
-    ]
-    binnings = jax.tree.map(lambda *xs: jnp.stack(xs), *(s[0] for s in slot_bins))
-    means2d_at_bin = jnp.stack([s[1] for s in slot_bins])  # (B, N, 2)
-    valid_at_bin = jnp.stack([s[2] for s in slot_bins])  # (B, N)
+    def build_all_binnings(params, active, T_all):
+        slot_bins = [
+            slot_binning(params, active, T_all[i], batch.valid[i])
+            for i in range(b)
+        ]
+        return (
+            jax.tree.map(lambda *xs: jnp.stack(xs), *(s[0] for s in slot_bins)),
+            jnp.stack([s[1] for s in slot_bins]),  # (B, N, 2)
+            jnp.stack([s[2] for s in slot_bins]),  # (B, N)
+        )
 
-    def body(_, c: _Carry) -> _Carry:
+    binnings, means2d_at_bin, valid_at_bin = build_all_binnings(
+        gmap.params, gmap.aux.active, batch.T_w2c
+    )
+
+    def body(k_iter, c: _Carry) -> _Carry:
         rng, k_densify = jax.random.split(c.rng)
         it = c.iteration_count + 1
 
@@ -364,7 +379,7 @@ def _mapping_iterations_jit(
         probes0 = jnp.zeros((b, n, 2))
         (loss, radii), (g_map, g_tau, g_exp, g_probe) = grad_fn(
             c.gmap.params, taus0, c.exposure, probes0, c.T, c.gmap.aux.active,
-            binnings,
+            c.binnings,
         )
 
         # ---- map Adam step with the scheduled xyz LR (gaussian_model.py:296)
@@ -466,6 +481,23 @@ def _mapping_iterations_jit(
                 gmap_new,
             )
 
+        # ---- in-program rebin (cfg.mapping_rebin_every > 0): refresh the
+        # per-slot binnings from the JUST-UPDATED map and poses on the
+        # cadence, and immediately after any topology/opacity event so
+        # densify children render from the very next iteration
+        bins_new, m2d_new, vab_new = c.binnings, c.means2d_at_bin, c.valid_at_bin
+        re_every = int(cfg.mapping_rebin_every)
+        if re_every > 0:
+            do_rebin = ((k_iter + 1) % re_every == 0) | do_update | do_reset
+            bins_new, m2d_new, vab_new = jax.lax.cond(
+                do_rebin,
+                lambda _: build_all_binnings(
+                    gmap_new.params, gmap_new.aux.active, T_new
+                ),
+                lambda _: (c.binnings, c.means2d_at_bin, c.valid_at_bin),
+                None,
+            )
+
         return _Carry(
             gmap=gmap_new,
             T=T_new,
@@ -475,6 +507,9 @@ def _mapping_iterations_jit(
             rng=rng,
             last_loss=loss,
             n_dropped=c.n_dropped + dropped,
+            binnings=bins_new,
+            means2d_at_bin=m2d_new,
+            valid_at_bin=vab_new,
         )
 
     init = _Carry(
@@ -486,6 +521,9 @@ def _mapping_iterations_jit(
         rng=rng,
         last_loss=jnp.zeros(()),
         n_dropped=jnp.zeros((), jnp.int32),
+        binnings=binnings,
+        means2d_at_bin=means2d_at_bin,
+        valid_at_bin=valid_at_bin,
     )
     final = jax.lax.fori_loop(0, jnp.asarray(iters, jnp.int32), body, init)
 
@@ -508,14 +546,14 @@ def _mapping_iterations_jit(
                     intr, cfg.sh_degree,
                 )
             )
-            d = jnp.abs(proj.means2d - means2d_at_bin[i]).max(axis=-1)
-            m = valid_at_bin[i] & proj.valid
+            d = jnp.abs(proj.means2d - final.means2d_at_bin[i]).max(axis=-1)
+            m = final.valid_at_bin[i] & proj.valid
             # only gaussians whose binned footprint could touch the screen:
             # off-frame ones (valid but far outside the frustum margin) have
             # wildly z-sensitive pixel coords yet zero tile entries, so their
             # "drift" is noise, not truncated gradient
             margin = float(raster_cfg.tile) + cfg.mapping_rebin_dilation
-            mu0 = means2d_at_bin[i]
+            mu0 = final.means2d_at_bin[i]
             onscreen = (
                 (mu0[:, 0] > -margin)
                 & (mu0[:, 0] < intr.width + margin)

@@ -53,6 +53,16 @@ class StepConfig:
     # mapping reuses per-slot binnings for a whole chunk dispatch
     # (core/mapping.py); same drift-margin idea
     mapping_rebin_dilation: float = 4.0
+    # IN-PROGRAM mapping rebinning: > 0 rebuilds the per-slot binnings
+    # inside the jitted mapping loop every `mapping_rebin_every`
+    # iterations AND immediately after every densify/opacity-reset, so
+    # the host chunk length is decoupled from binning drift entirely
+    # (the fixed ~130 ms per-dispatch relay cost no longer scales with
+    # drift; split/clone children start rendering at the next in-loop
+    # rebin instead of the next host dispatch). 0 = off: binnings are
+    # built once per dispatch and the adaptive chunk controller
+    # (core/backend.py next_chunk) bounds drift by shortening chunks.
+    mapping_rebin_every: int = 0
     # TPU coarse-to-fine tracking (off by default for reference parity):
     # `pyramid_levels` extra half-resolution levels run before the full-res
     # loop (each costs ~1/4 per halving), capped at `pyramid_coarse_iters`
@@ -103,6 +113,9 @@ class StepConfig:
             ),
             mapping_rebin_dilation=float(
                 (config.get("TPU", {}) or {}).get("mapping_rebin_dilation", 4.0)
+            ),
+            mapping_rebin_every=int(
+                (config.get("TPU", {}) or {}).get("mapping_rebin_every", 0)
             ),
             edge_threshold=float(training.get("edge_threshold", 1.1)),
             per_block_mask=config["Dataset"].get("type") == "replica",

@@ -158,6 +158,44 @@ class TestInsertion:
         assert np.all(np.abs(out[: h // 2] - 3.0) < 1.0)
 
 
+def _perturbed_mapping_fixture():
+    """(noisy map, 3-view KeyframeBatch, kf_state): shared by the mapping
+    convergence and in-program-rebin tests."""
+    gt_map = scene_map()
+    scene_T = [jnp.eye(4)]
+    for tau in ([0.1, 0.0, 0.0, 0.0, 0.05, 0.0], [-0.1, 0.05, 0.0, 0.0, -0.05, 0.0]):
+        scene_T.append(se3_exp(jnp.array(tau)) @ jnp.eye(4))
+    frames = [
+        render_tiled(gt_map.params, gt_map.aux.active, T, INTR, 0, config=RCFG)
+        for T in scene_T
+    ]
+    noisy_params = gt_map.params._replace(
+        xyz=gt_map.params.xyz
+        + 0.02 * jax.random.normal(jax.random.PRNGKey(7), gt_map.params.xyz.shape)
+    )
+    gmap = gt_map._replace(params=noisy_params)
+    b = 5
+    images = jnp.stack(
+        [f.color for f in frames] + [jnp.zeros_like(frames[0].color)] * 2
+    )
+    depths = jnp.stack(
+        [f.depth / jnp.maximum(f.alpha, 1e-6) for f in frames]
+        + [jnp.zeros_like(frames[0].depth)] * 2
+    )
+    batch = KeyframeBatch(
+        images=images,
+        depths=depths,
+        T_w2c=jnp.stack(scene_T + [jnp.eye(4)] * 2),
+        exposure=jnp.zeros((b, 2)),
+        valid=jnp.array([True] * 3 + [False] * 2),
+        optimize_pose=jnp.zeros(b, bool),
+        optimize_exposure=jnp.zeros(b, bool),
+        apply_exposure=jnp.zeros(b, bool),
+        harvest_visibility=jnp.array([True] * 3 + [False] * 2),
+    )
+    return gmap, batch, make_keyframe_opt_state(b), b
+
+
 class TestMappingConvergence:
     def test_loss_decreases(self):
         # optimize a perturbed map against 3 GT views
@@ -214,6 +252,34 @@ class TestMappingConvergence:
         assert losses[-1] < losses[0] * 0.92, losses
         assert all(b <= a for a, b in zip(losses, losses[1:])), losses
 
+    def test_in_program_rebin_beats_stale_binning_across_densify(self):
+        """cfg.mapping_rebin_every > 0 rebuilds the per-slot binnings inside
+        the jitted loop (core/mapping.py body), so densify children render
+        from the next iteration and moving means keep full tile lists; a
+        single long dispatch with a densify mid-chunk must therefore end at
+        a LOWER loss than the same dispatch with entry-only binnings."""
+        common = dict(
+            iters=12, update_every=10, update_offset=5,
+            reset_interval=1000000, size_threshold=0.0,
+            use_depth=True, init_mode=False,
+        )
+        finals = {}
+        for re_every in (0, 4):
+            gmap, batch, kfs, b = _perturbed_mapping_fixture()
+            cfg = StepConfig(
+                monocular=False, window_slots=b, mapping_rebin_every=re_every
+            )
+            out = mapping_iterations(
+                gmap, batch, kfs, 0, jax.random.PRNGKey(1), jnp.zeros(3),
+                jnp.float32(0.005), jnp.float32(6.0), cfg, MapOptConfig(),
+                INTR, RCFG, **common,
+            )
+            finals[re_every] = float(out.last_loss)
+            # the rebin arm's drift is measured vs its LAST in-loop rebin
+            if re_every:
+                assert float(out.bulk_drift) < 1.0
+        assert finals[4] < finals[0], finals
+
 
 class TestAdaptiveChunkController:
     """next_chunk: binning-reuse feedback control (core/backend.py)."""
@@ -221,25 +287,27 @@ class TestAdaptiveChunkController:
     def test_shrinks_toward_exact_on_drift(self):
         from monogs_dev_tpu.core.backend import next_chunk
 
-        # drift beyond 80% of the margin halves the chunk, down to 1
-        # (gradient-exact: binning rebuilt every iteration)
-        c = 8
-        for _ in range(4):
-            c = next_chunk(c, drift=10.0, dilation=4.0, current=c, map_chunk=25)
-        assert c == 1
+        # proportional: heavy drift jumps straight to the exact chunk
+        # (binning rebuilt every iteration)
+        assert next_chunk(8, drift=10.0, dilation=4.0, current=8, map_chunk=25) == 1
+        # moderate drift lands on the 60%-margin chunk: per-iter 0.25 px,
+        # 0.6*4/0.25 = 9.6 -> 9
+        assert next_chunk(8, drift=2.0, dilation=4.0, current=8, map_chunk=25) == 9
 
-    def test_regrows_when_calm(self):
+    def test_regrows_from_pinned_chunk1(self):
         from monogs_dev_tpu.core.backend import next_chunk
 
-        # at chunk=1 the drift is per-iteration motion: regrow needs
-        # drift < 0.2*dilation, and proceeds by +1
-        assert next_chunk(1, drift=1.0, dilation=4.0, current=1, map_chunk=25) == 1
-        assert next_chunk(1, drift=0.5, dilation=4.0, current=1, map_chunk=25) == 2
-        # at chunk>1 regrow needs drift < 0.3*dilation, by +2, capped
-        assert next_chunk(4, drift=1.0, dilation=4.0, current=4, map_chunk=25) == 6
-        assert next_chunk(4, drift=1.0, dilation=4.0, current=24, map_chunk=25) == 25
-
-    def test_holds_in_deadband(self):
-        from monogs_dev_tpu.core.backend import next_chunk
-
+        # the round-4 bench regression case: p99.5 tail drift of ~1 px/iter
+        # at chunk=1 must NOT pin the chunk at 1 (target 2.4, damped to 2x)
+        assert next_chunk(1, drift=1.0, dilation=4.0, current=1, map_chunk=25) == 2
+        assert next_chunk(2, drift=2.0, dilation=4.0, current=2, map_chunk=25) == 2
+        # calmer drift converges to the proportional target
+        assert next_chunk(2, drift=1.0, dilation=4.0, current=2, map_chunk=25) == 4
         assert next_chunk(4, drift=2.0, dilation=4.0, current=4, map_chunk=25) == 4
+
+    def test_stationary_jumps_toward_max(self):
+        from monogs_dev_tpu.core.backend import next_chunk
+
+        # effectively-zero drift heads for map_chunk, damped 2x per step
+        assert next_chunk(4, drift=0.0, dilation=4.0, current=4, map_chunk=25) == 8
+        assert next_chunk(25, drift=0.1, dilation=4.0, current=25, map_chunk=25) == 25
