@@ -662,15 +662,24 @@ class BackendEngine:
                     self._grow_to_capacity()
                     # the standing device batch is tier-agnostic (keyframe
                     # stacks, poses); only the map changed size
-            chunk = min(self._adaptive_chunk, remaining)
-            # the device program reuses per-slot binnings for a whole chunk;
-            # end the chunk exactly ON the next densify/opacity-reset event
-            # so a topology change never renders against a stale binning
-            event = self._next_map_event(
-                self.iteration_count, update_every, update_offset,
-                reset_interval, init_mode,
-            )
-            chunk = min(chunk, event - self.iteration_count)
+            if self.cfg.mapping_rebin_every > 0:
+                # in-program rebinning: the jitted loop rebuilds binnings on
+                # its own cadence AND right after every densify/reset, so
+                # neither the drift controller nor event splitting applies —
+                # dispatch the whole round as one program call (the fixed
+                # per-dispatch relay cost is the dominant pump term)
+                chunk = min(remaining, max(self.map_chunk, 1))
+            else:
+                chunk = min(self._adaptive_chunk, remaining)
+                # the device program reuses per-slot binnings for a whole
+                # chunk; end the chunk exactly ON the next densify/opacity-
+                # reset event so a topology change never renders against a
+                # stale binning
+                event = self._next_map_event(
+                    self.iteration_count, update_every, update_offset,
+                    reset_interval, init_mode,
+                )
+                chunk = min(chunk, event - self.iteration_count)
             with DEVICE_LOCK:
                 if batch is None:
                     batch, slot_ids = self._build_batch(
