@@ -45,6 +45,30 @@ class TestSurfaceSceneAccuracy:
         slam.stop()
         assert ate < 0.03, f"surface-scene ATE {ate * 100:.2f} cm >= 3 cm"
 
+    @pytest.mark.slow
+    def test_sp_budgets_ate_under_1p5_cm(self):
+        """Serialized-backend (`_sp`) semantics regression: the Replica
+        office0_sp budget set (init 1050, 150 iters/kf, Dataset.single_thread)
+        measured 0.44 cm / PSNR 38.7 on v5e (BASELINE.md 2026-08-21); bar at
+        1.5 cm. Reference: configs/rgbd/replica/office0_sp.yaml,
+        slam_backend.py:421-433 budget dispatch."""
+        from monogs_dev_tpu.eval.ate import eval_ate
+
+        cfg = load_config(
+            os.path.join(REPO, "configs/synthetic/surface_sp_160.yaml")
+        )
+        cfg["Results"]["save_results"] = False
+        slam = SLAM(cfg, save_dir=None)
+        slam.run()
+        fe = slam.frontend
+        assert len(fe.kf_indices) >= 6
+        ate = eval_ate(
+            fe.cameras, fe.kf_indices, None, 0, final=True,
+            monocular=slam.monocular,
+        )
+        slam.stop()
+        assert ate < 0.015, f"_sp-budget ATE {ate * 100:.2f} cm >= 1.5 cm"
+
 
 class TestSingleThreadE2E:
     def test_runs_and_maps(self):
