@@ -75,6 +75,18 @@ MEASURED DEAD ENDS (do not retry):
   5.62 ms vs 2.82 at tile=16. A finer tiling only pays with a lane-packed
   multi-tile layout (two 64-px tiles sharing each vreg), not via the tile
   config knob.
+- tile=(16,8), the round-4 "one-vreg-wide" attempt (P=128 exactly fills
+  one vreg lane dim; utilization 0.27 -> 0.39, effective entry-pixels
+  0.66x): fwd measured 4.16 ms at N_STREAMS=2 and 4.05 ms at 4 streams
+  vs 2.88 at tile=16 — achieved rate halved (0.294 vs 0.645 Top/s) and
+  extra streams did NOT recover it, so the loss is not stream-level
+  latency hiding; per-chunk fixed costs and doubled per-tile epilogue
+  (grid 2400 vs 1200 programs: output writes, neff stores, count checks)
+  eat the work reduction. True lane-PACKED pairs (two separate 64-px tile
+  lists sharing one vreg) were cost-modeled at ~+44% packing instructions
+  per chunk (10 property planes x broadcast/select) for 1.85x fewer
+  entry-pixels — net ~1.3x at best, below measurement noise ambition, and
+  shelved. P=256 square tiles remain the operating point.
 """
 
 from __future__ import annotations

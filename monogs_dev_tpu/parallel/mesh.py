@@ -21,6 +21,16 @@ Implemented with `shard_map` for the gradient fan-out (explicit psum) and
 plain sharded-array ops for the replicated update. `check_vma=False`
 because the Pallas blend's out_shape carries no varying-mesh-axes
 annotation; every collective here is explicit.
+
+MEASURED (tools/probe_dp_scaling.py, 8 VIRTUAL cpu devices on ONE
+physical core — wall-clock speedup is structurally impossible there, the
+table documents DP OVERHEAD): iters/s at N=1/2/4/8 = 1.052/1.055/0.823/
+0.917 on a fixed 30-iteration window, final loss identical to 4 decimals
+across N. I.e. the psum'd capacity-sized gradients + replicated update
+cost 0-22% of the per-iteration budget when the rasterization work does
+NOT shrink with N; on real ICI-connected chips the per-device raster work
+(the dominant term) scales 1/N while this overhead term stays, so the
+crossing point is immediate for any window of >= 2 keyframes/device.
 """
 
 from __future__ import annotations
