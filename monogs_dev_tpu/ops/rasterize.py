@@ -498,7 +498,8 @@ def render_median_depth(
         )[0]
         return jnp.where(total > 1e-6, dep, 0.0)
 
-    depths = jax.lax.map(one_tile, (t_props, origins))  # (T, P)
+    # lax.map passes the zipped leaves as ONE pytree argument
+    depths = jax.lax.map(lambda a: one_tile(*a), (t_props, origins))  # (T, P)
     img = depths.reshape((ty_n, tx_n, th, tw))
     img = jnp.moveaxis(img, 2, 1).reshape((ty_n * th, tx_n * tw))
     return img[:h, :w]

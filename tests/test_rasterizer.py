@@ -408,3 +408,44 @@ class TestCompactBinning:
         m = max(n_binned - 5, 1)
         _, _, dropped = compact_binning(binning, n, m)
         assert int(dropped) == n_binned - m
+
+
+class TestMedianDepth:
+    """render_median_depth: actual-surface depth for fixture generation —
+    on a silhouette pixel (near opaque surface over far one) it must
+    return the NEAR surface's z where expected depth blends the two
+    (BASELINE.md fixture-depth analysis; reference per-patch median
+    pseudo-depth at utils/slam_frontend.py:63-104)."""
+
+    def test_silhouette_returns_near_surface(self):
+        from monogs_dev_tpu.ops.rasterize import render_median_depth
+        from monogs_dev_tpu.ops import render_tiled
+
+        intr = Intrinsics(fx=70.0, fy=70.0, cx=40.0, cy=32.0,
+                          width=80, height=64)
+        n = 2
+        # two isotropic gaussians on the optical axis: near at z=1 (60%
+        # opaque), far at z=4 (opaque)
+        xyz = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 4.0]])
+        params = GaussianParams(
+            xyz=xyz,
+            f_dc=jnp.tile(rgb_to_sh(jnp.full((1, 1, 3), 0.5)), (n, 1, 1)),
+            f_rest=None,
+            log_scales=jnp.log(jnp.full((n, 3), 0.05)),
+            quats=jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (n, 1)),
+            opacity_logit=inverse_sigmoid(jnp.array([0.6, 0.999])),
+        )
+        active = jnp.ones((n,), bool)
+        cfg = RasterConfig(max_per_tile=64, k_dup=8, tile_group=5)
+        med = np.asarray(
+            render_median_depth(params, active, jnp.eye(4), intr, cfg)
+        )
+        out = render_tiled(params, active, jnp.eye(4), intr, 0, config=cfg)
+        exp = np.asarray(out.depth) / np.maximum(np.asarray(out.alpha), 1e-6)
+        cy, cx = 32, 40
+        # expected depth blends: 0.6*1 + 0.4*4 = 2.2-ish at the center
+        assert 1.5 < exp[cy, cx] < 3.5, exp[cy, cx]
+        # median depth is the near surface exactly
+        assert abs(med[cy, cx] - 1.0) < 1e-3, med[cy, cx]
+        # background pixels report 0 (no-hit convention)
+        assert med[0, 0] == 0.0

@@ -98,7 +98,7 @@ for i in range(N_FRAMES):
     if DEPTH_MODE == "median":
         from monogs_dev_tpu.ops.rasterize import render_median_depth
 
-        depth = np.asarray(
+        depth = np.array(  # copy: np.asarray of a jax array is read-only
             render_median_depth(
                 params, active, jnp.asarray(T_w2c, jnp.float32), intr, cfg
             )
