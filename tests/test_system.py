@@ -292,8 +292,10 @@ class TestMonoSurfaceAccuracy:
     headline capability — pose-gradient tracking, pseudo-depth keyframe
     insertion, mono bootstrap + init-BA — on the textured surface scene
     with exact GT. Umeyama-with-scale ATE (mono gauge). Anchor run on v5e
-    2026-08-19: ATE 17.4 cm, PSNR 25.6, 11 keyframes / 120 frames, zero
-    post-bootstrap resets; the bar is 2x that anchor."""
+    2026-08-21: ATE 1.11 cm, PSNR 27.3, 9 keyframes / 120 frames (round-4
+    code reached RGB-D parity; the 2026-08-19 anchor was 17.4 cm). Bar at
+    8 cm absorbs bootstrap stochasticity while catching any regression
+    toward the old regime."""
 
     @pytest.mark.slow
     def test_mono_ate_under_bar(self):
@@ -312,7 +314,7 @@ class TestMonoSurfaceAccuracy:
             monocular=True,
         )
         slam.stop()
-        assert ate < 0.35, f"mono surface ATE {ate * 100:.1f} cm >= 35 cm"
+        assert ate < 0.08, f"mono surface ATE {ate * 100:.1f} cm >= 8 cm"
 
 
 class TestMappingCapacityTier:
