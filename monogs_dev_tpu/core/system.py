@@ -306,6 +306,15 @@ class SLAM:
                 )
                 jax.block_until_ready(swapped[0])
             jax.block_until_ready(_hw(gmap.aux.active))
+            # 4x4 pose conversion (np float64 -> device f32): the frontend
+            # does this on every frame reset/init; a cheap but counted
+            # compile if first seen inside the warmup window
+            jax.block_until_ready(
+                jnp.asarray(np.eye(4, dtype=np.float64), jnp.float32)
+            )
+            jax.block_until_ready(
+                jnp.asarray(jnp.full((4, 4), 1.0), jnp.float32)  # weak f32
+            )
 
             for b in tiers:
                 vis = harvest_visibility(
