@@ -634,7 +634,7 @@ class BackendEngine:
         last_batch = None
         slot_ids: list[int] = []
         batch = None
-        pending = None  # previous chunk's (out, chunk, it_end, densified)
+        pending = None  # previous chunk's (out, chunk, densified)
         tier = self._slot_tier()
         if self.kf_state is None or self.kf_state.mu.shape[0] != tier:
             self.kf_state = make_keyframe_opt_state(tier)

@@ -184,6 +184,18 @@ class FrontEnd:
             if tam > 0.0
             else raster_cfg
         )
+        # TPU.track_compact: 0 = off, > 0 = fixed working-set cap, -1 =
+        # ADAPTIVE — pick the compaction tier from the measured binned-entry
+        # count (TrackResult.n_binned) with a safety margin, fall back to
+        # the full tier whenever the margin can't be met or drops occur.
+        # The fixed-cap mode is what broke at bootstrap (53k binned vs a
+        # 16384 cap lost lock instantly — core/params.py history); adaptive
+        # mode never compacts below 1.35x the recent binned max.
+        self.track_compact_mode = int(
+            (config.get("TPU") or {}).get("track_compact", 0)
+        )
+        self._binned_hist: List[int] = []  # recent n_binned maxima
+        self._compact_m = 0  # current compaction tier (0 = full)
         self.save_dir = save_dir
         self.throttle = throttle
         self.viz_channel = viz_channel
@@ -426,6 +438,41 @@ class FrontEnd:
                 return t
         return self.track_tiers[-1]
 
+    @staticmethod
+    def _compact_ladder(tier: int) -> List[int]:
+        """Candidate working-set sizes for a tracking tier. Two rungs only:
+        each (tier, m) pair is a separately compiled tracking program that
+        prewarm must pay for (core/system.py)."""
+        return [tier // 2, (3 * tier) // 4]
+
+    def _choose_compact(self, tier: int) -> int:
+        """Working-set compaction size for this frame's tracking dispatch.
+
+        Adaptive mode (-1): smallest ladder rung >= 1.35x the recent binned
+        max, sticky to the current rung while it keeps a 1.2x margin (no
+        per-frame flapping between rungs = no surprise compiles). Gated to
+        tiers <= the backend's steady tier so the bootstrap phase — whose
+        binned set transiently spikes (the failure that disabled the fixed
+        cap) — always runs the full tier."""
+        mode = self.track_compact_mode
+        if mode == 0:
+            return 0
+        if mode > 0:
+            return mode if mode < tier else 0
+        if tier > self.engine.tier_small or not self._binned_hist:
+            return 0
+        maxb = max(self._binned_hist)
+        cands = [m for m in self._compact_ladder(tier) if m >= 1.35 * maxb]
+        best = min(cands) if cands else 0
+        cur = self._compact_m
+        if (
+            0 < cur < tier
+            and cur >= 1.2 * maxb
+            and (best == 0 or best >= cur)
+        ):
+            return cur
+        return best
+
     def tracking(self, cur_frame_idx: int, image, depth, grad_mask) -> TrackResult:
         prev = self.cameras[cur_frame_idx - 1]
         T_init = prev.T_est
@@ -455,7 +502,13 @@ class FrontEnd:
                         (self.intr.height, self.intr.width), jnp.float32
                     )
                 depth = self._zero_depth
-            result = track_frame(
+            self._compact_m = self._choose_compact(tier)
+            cfg = dataclasses.replace(self.cfg, track_compact=self._compact_m)
+            if cfg.tracking_solver == "gn":
+                from .tracking_gn import track_frame_gn as track_fn
+            else:
+                track_fn = track_frame
+            result = track_fn(
                 params,
                 active,
                 np.asarray(T_init, np.float32),
@@ -464,7 +517,7 @@ class FrontEnd:
                 depth,
                 grad_mask,
                 self.bg_color,
-                self.cfg,
+                cfg,
                 self.intr,
                 self.track_raster_cfg,
                 use_depth=use_depth,
@@ -487,6 +540,8 @@ class FrontEnd:
                     result.median_depth,
                     result.dup_overflow,
                     result.tile_overflow,
+                    result.compact_dropped,
+                    result.n_binned,
                 )
             )
             touched = small[4]
@@ -504,8 +559,24 @@ class FrontEnd:
                 median_depth=small[5],
                 dup_overflow=small[6],
                 tile_overflow=small[7],
+                compact_dropped=small[8],
+                n_binned=small[9],
             )
             self.median_depth = float(result.median_depth)
+            # adaptive-compaction feedback: n_binned is the TRUE pre-
+            # compaction count (measured even on compacted frames), so the
+            # margin logic self-corrects; a drop additionally forces the
+            # full tier immediately for the next frame
+            self._binned_hist.append(int(result.n_binned))
+            del self._binned_hist[:-5]
+            if int(result.compact_dropped) > 0:
+                Log(
+                    f"tracking working-set overflow: "
+                    f"{int(result.compact_dropped)} binned gaussians dropped "
+                    f"at m={self._compact_m} (falling back to the full tier)",
+                    tag="MonoGS-TPU",
+                )
+                self._compact_m = 0
         if not np.isfinite(self.median_depth):
             self.median_depth = 4.0
         return result
@@ -703,13 +774,6 @@ class FrontEnd:
                     Log(
                         f"raster tile-list overflow: {overflow} entries "
                         f"dropped (raise TPU.max_per_tile)", tag="MonoGS-TPU",
-                    )
-                compact_dropped = int(track.compact_dropped)
-                if compact_dropped > 0:
-                    Log(
-                        f"tracking working-set overflow: {compact_dropped} "
-                        f"binned gaussians dropped (raise TPU.track_compact)",
-                        tag="MonoGS-TPU",
                     )
                 t_ph = time.time()
                 depth_map = self.make_keyframe_depth(image, depth, track)

@@ -271,13 +271,15 @@ def _mapping_iterations_jit(
     # materializes (B, T, L, D) before the kernel can start, while the
     # sequential form lets XLA overlap slot k's gather with slot k-1's
     # blend; it also loses the lax.cond dead-slot skip below.
-    def total_loss(params, taus, exps, probes, T_all, active, binnings):
+    def total_loss(params, taus, exps, probes, T_all, active, binnings, valid_eff):
         def one(args):
             tau, exp_ab, probe, img, dep, T0, valid, app_exp, binning = args
 
             # lax.cond (a real runtime branch under lax.map's scan) skips the
             # full render for empty batch slots — before the window fills,
             # up to (slots - |window|)/slots of the mapping cost is padding.
+            # `valid_eff` additionally carries the per-iteration slot-subset
+            # mask (cfg.map_slots_per_iter), so skipped slots cost nothing.
             def live(_):
                 return frame_loss(
                     params, active, tau, exp_ab, probe, img, dep, T0, valid,
@@ -298,7 +300,7 @@ def _mapping_iterations_jit(
                 batch.images,
                 batch.depths,
                 T_all,
-                batch.valid,
+                valid_eff,
                 batch.apply_exposure,
                 binnings,
             ),
@@ -375,11 +377,30 @@ def _mapping_iterations_jit(
         rng, k_densify = jax.random.split(c.rng)
         it = c.iteration_count + 1
 
+        # per-iteration slot subset (cfg.map_slots_per_iter, steady-state
+        # rounds only): render the newest window keyframe + a random
+        # rotation of (msi - 1) other slots; the rest skip via the dead
+        # branch. Opacity-reset iterations force a FULL render — the
+        # reset's non-visible set must come from every window slot
+        # (slam_backend.py:300-305), not a subset.
+        msi = int(cfg.map_slots_per_iter)
+        if 0 < msi < b and not init_mode:
+            rng, k_sub = jax.random.split(rng)
+            perm = (
+                jax.random.permutation(k_sub, b - 1).astype(jnp.int32) + 1
+            )
+            sub = jnp.zeros((b,), bool).at[0].set(True)
+            sub = sub.at[perm[: msi - 1]].set(True)
+            is_reset_iter = (it % reset_interval) == 0
+            valid_eff = batch.valid & (sub | is_reset_iter)
+        else:
+            valid_eff = batch.valid
+
         taus0 = jnp.zeros((b, 6))
         probes0 = jnp.zeros((b, n, 2))
         (loss, radii), (g_map, g_tau, g_exp, g_probe) = grad_fn(
             c.gmap.params, taus0, c.exposure, probes0, c.T, c.gmap.aux.active,
-            c.binnings,
+            c.binnings, valid_eff,
         )
 
         # ---- map Adam step with the scheduled xyz LR (gaussian_model.py:296)

@@ -43,16 +43,29 @@ class StepConfig:
     # props gather shrink from the capacity tier to the visible set).
     # Bit-exact when nothing is dropped (ops/rasterize.py compact_binning);
     # drops are surfaced via TrackResult.compact_dropped and a loud log.
-    # DEFAULT OFF: on the VGA mono bench the bootstrap map bins ~53k
-    # gaussians (the first keyframe + init-BA densification), so a fixed
-    # 16384 working set dropped 37k of them and tracking lost lock
-    # instantly (n_vis 0, resets every window). Enable via
-    # TPU.track_compact only for workloads whose BINNED set is measured
-    # well under the cap (large capacity, localized visibility).
+    # TPU.track_compact: 0 = off, > 0 = fixed cap, -1 = ADAPTIVE (the
+    # frontend replaces this field per dispatch with a ladder rung sized
+    # 1.35x over the measured TrackResult.n_binned, full tier on any
+    # shortfall — core/frontend.py _choose_compact). The fixed-cap history:
+    # on the VGA mono bench the bootstrap map bins ~53k gaussians (first
+    # keyframe + init-BA densification), so a fixed 16384 working set
+    # dropped 37k of them and tracking lost lock instantly (n_vis 0,
+    # resets every window) — that is exactly what the adaptive gate
+    # (bootstrap runs full tier) exists to avoid.
     track_compact: int = 0
     # mapping reuses per-slot binnings for a whole chunk dispatch
     # (core/mapping.py); same drift-margin idea
     mapping_rebin_dilation: float = 4.0
+    # TPU.map_slots_per_iter (> 0): each mapping iteration renders only a
+    # random rotating subset of this many LIVE slots (the newest window
+    # keyframe always included) instead of every slot — the per-iteration
+    # pump cost scales with rendered slots while gradients still cycle the
+    # whole window across iterations (the reference's 2-random-keyframe
+    # spirit, slam_backend.py:168-227). 0 = reference semantics (all
+    # slots). Quality-gated A/B in BASELINE.md before any config enables
+    # it. Steady-state rounds only: init-BA and pre-window-fill rounds
+    # always render every slot (core/mapping.py).
+    map_slots_per_iter: int = 0
     # IN-PROGRAM mapping rebinning: > 0 rebuilds the per-slot binnings
     # inside the jitted mapping loop every `mapping_rebin_every`
     # iterations AND immediately after every densify/opacity-reset, so
@@ -80,6 +93,11 @@ class StepConfig:
     # tracking program when the caller passes grad_mask=None
     edge_threshold: float = 1.1
     per_block_mask: bool = False
+    # pose solver: "adam" = the reference's first-order loop
+    # (core/tracking.py); "gn" = damped Gauss-Newton on the image-space
+    # linearization (core/tracking_gn.py) — ~3x fewer render passes per
+    # frame on a 6-DoF problem (Training.tracking_solver)
+    tracking_solver: str = "adam"
 
     @staticmethod
     def from_config(config) -> "StepConfig":
@@ -102,6 +120,7 @@ class StepConfig:
             ),
             plateau_iters=int(training.get("tracking_plateau_iters", 0)),
             plateau_rel_tol=float(training.get("tracking_plateau_rel_tol", 1e-4)),
+            tracking_solver=str(training.get("tracking_solver", "adam")),
             track_compact=int(
                 (config.get("TPU", {}) or {}).get("track_compact", 0)
             ),
@@ -116,6 +135,9 @@ class StepConfig:
             ),
             mapping_rebin_every=int(
                 (config.get("TPU", {}) or {}).get("mapping_rebin_every", 0)
+            ),
+            map_slots_per_iter=int(
+                (config.get("TPU", {}) or {}).get("map_slots_per_iter", 0)
             ),
             edge_threshold=float(training.get("edge_threshold", 1.1)),
             per_block_mask=config["Dataset"].get("type") == "replica",

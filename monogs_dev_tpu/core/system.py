@@ -199,12 +199,18 @@ class SLAM:
             image = jnp.zeros((h, w, 3)) + 0.5
             depth = jnp.full((h, w), 2.0, jnp.float32)
             new_params = valid = None
-            seen_budgets = set()
+            seen_variants = set()
             for downsample, _is_init in pairs:
                 budget = _next_pow2(max(int(2 * h * w / downsample), 256))
-                if budget in seen_budgets:
+                # dedupe on (budget, downsample): `downsample` is a static
+                # jit arg of _new_points_from_frame_jit, so two downsamples
+                # that round to the same pow2 budget are still two compiles
+                # (and the last pair must leave `new_params` holding the
+                # production keyframe-insert shape for the tier-small evict
+                # prewarm below)
+                if (budget, downsample) in seen_variants:
                     continue
-                seen_budgets.add(budget)
+                seen_variants.add((budget, downsample))
                 new_params, valid = new_points_from_frame(
                     rng, image, depth, jnp.zeros(2), jnp.eye(4), intr,
                     cfg.sh_degree, budget, downsample, e.point_size,
@@ -221,21 +227,38 @@ class SLAM:
             # the production keyframe-insert shape, not the init one
 
             # tracking program (grad mask computed in-program), one compile
-            # per capacity tier the frontend can dispatch
-            for tier in self.frontend.track_tiers:
+            # per (capacity tier x working-set compaction m) pair the
+            # frontend can dispatch. m=0 (full tier) always; adaptive mode
+            # adds the ladder rungs for tiers at/below the backend's steady
+            # tier (frontend._choose_compact's gate).
+            import dataclasses as _dc
+
+            if cfg.tracking_solver == "gn":
+                from .tracking_gn import track_frame_gn as track_fn
+            else:
+                track_fn = track_frame
+            fe = self.frontend
+            for tier in fe.track_tiers:
+                ms = [0]
+                if fe.track_compact_mode < 0 and tier <= e.tier_small:
+                    ms += [m for m in fe._compact_ladder(tier) if 0 < m < tier]
+                elif 0 < fe.track_compact_mode < tier:
+                    ms.append(fe.track_compact_mode)
                 p_t = jax.tree.map(lambda x: x[:tier], gmap.params)
                 a_t = gmap.aux.active[:tier]
-                track = track_frame(
-                    p_t, a_t, jnp.eye(4), jnp.zeros(2),
-                    image, depth, None, jnp.zeros(3), cfg, intr,
-                    self.frontend.track_raster_cfg,
-                    use_depth=not cfg.monocular,
-                )
-                jax.block_until_ready(track.T_w2c)
-                Log(
-                    f"prewarm: tracking tier {tier} compiled "
-                    f"({time.time() - t_start:.1f}s)"
-                )
+                for m in ms:
+                    track = track_fn(
+                        p_t, a_t, jnp.eye(4), jnp.zeros(2),
+                        image, depth, None, jnp.zeros(3),
+                        _dc.replace(cfg, track_compact=m), intr,
+                        fe.track_raster_cfg,
+                        use_depth=not cfg.monocular,
+                    )
+                    jax.block_until_ready(track.T_w2c)
+                    Log(
+                        f"prewarm: tracking tier {tier} m={m} compiled "
+                        f"({time.time() - t_start:.1f}s)"
+                    )
 
             # mapping program variants
             def dummy_batch(b):

@@ -54,6 +54,9 @@ class TrackResult(NamedTuple):
     dup_overflow: jnp.ndarray  # () binning telemetry from the final render
     tile_overflow: jnp.ndarray  # ()
     compact_dropped: jnp.ndarray  # () max working-set drop over rebinnings
+    n_binned: jnp.ndarray  # () max gaussians with tile entries over all
+    # rebinnings/levels — the signal the frontend's ADAPTIVE working-set
+    # compaction sizes its tier from (core/frontend.py _choose_compact)
 
 
 class _Carry(NamedTuple):
@@ -67,6 +70,7 @@ class _Carry(NamedTuple):
     best_loss: jnp.ndarray  # () running best for the plateau exit
     stall: jnp.ndarray  # () iterations without relative improvement
     compact_dropped: jnp.ndarray  # () max working-set overflow (telemetry)
+    n_binned: jnp.ndarray  # () max binned-gaussian count over rebinnings
 
 
 def _halve_image(x: jnp.ndarray) -> jnp.ndarray:
@@ -247,7 +251,7 @@ def _track_frame_jit(
                 stall, best = c.stall, c.best_loss
             return _Carry(
                 T_new, exp_new, mu, nu, count, c.itr + 1, converged, best,
-                stall, c.compact_dropped,
+                stall, c.compact_dropped, c.n_binned,
             )
 
         def outer_body(c: _Carry) -> _Carry:
@@ -259,6 +263,13 @@ def _track_frame_jit(
             binning = build_binning(
                 proj, intr_l, raster_cfg, dilate=cfg.rebin_dilation
             )
+            # binned-set telemetry: gaussians with >= 1 tile entry at this
+            # rebin (the adaptive compaction signal; cheap vs the render)
+            flat_slots = binning.idx_table.shape[0] * binning.idx_table.shape[1]
+            n_b = (
+                (binning.pos_table < flat_slots).any(axis=1).sum()
+            ).astype(jnp.int32)
+            c = c._replace(n_binned=jnp.maximum(c.n_binned, n_b))
             n = active.shape[0]
             m = cfg.track_compact
             if 0 < m < n:
@@ -323,6 +334,7 @@ def _track_frame_jit(
         best_loss=jnp.asarray(jnp.inf),
         stall=jnp.zeros((), jnp.int32),
         compact_dropped=jnp.zeros((), jnp.int32),
+        n_binned=jnp.zeros((), jnp.int32),
     )
     total_iters = jnp.zeros((), jnp.int32)
     for li, (img_l, dep_l, msk_l, intr_l, max_iters) in enumerate(levels):
@@ -358,4 +370,5 @@ def _track_frame_jit(
         dup_overflow=out.dup_overflow,
         tile_overflow=out.tile_overflow,
         compact_dropped=final.compact_dropped,
+        n_binned=final.n_binned,
     )
