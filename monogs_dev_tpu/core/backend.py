@@ -251,6 +251,10 @@ class BackendEngine:
             "max_bulk_drift": 0.0,  # p99.5 drift (the controller's signal)
             "map_compactions": 0,  # tier shrinks (compact_map)
             "map_grows": 0,  # tier grows back to capacity
+            # DP-path phase evidence (MULTICHIP dryrun tail; VERDICT r4 #7)
+            "dp_init_iters": 0,  # init-BA iterations run through the mesh
+            "dp_densify_events": 0,
+            "dp_resets": 0,
         }
 
     def _split_rng(self) -> jax.Array:
@@ -587,9 +591,14 @@ class BackendEngine:
         if frames_to_optimize is None:
             frames_to_optimize = self.pose_window
 
-        if self._dp_step is not None and not init_mode and self.initialized:
+        if self._dp_step is not None:
+            # ALL mapping phases route through the mesh — including the
+            # init BA (the heaviest phase; VERDICT r4 #7 lifted the old
+            # bootstrap exclusion)
             self.flush_standing()
-            last_batch, slot_ids = self._map_dp(iters, frames_to_optimize)
+            last_batch, slot_ids = self._map_dp(
+                iters, frames_to_optimize, init_mode=init_mode
+            )
         else:
             last_batch, slot_ids = self._map_single(
                 iters, init_mode, frames_to_optimize, sync=sync or harvest
@@ -796,30 +805,53 @@ class BackendEngine:
             update_offset=self.gaussian_update_offset,
             size_threshold=self.size_threshold,
         )
+        # init-BA variant (VERDICT r4 #7): bootstrap is the phase with the
+        # most keyframes x iterations (300-1050), so on real multi-chip
+        # hardware it is the FIRST place DP pays — same step, the init
+        # densify cadence (init_gaussian_update @ offset 1, no screen-size
+        # pruning; slam_backend.py:86-140)
+        self._dp_step_init = dp_mapping_step(
+            self.mesh,
+            self.cfg,
+            self.opt_cfg,
+            self.intr,
+            self.raster_cfg,
+            use_depth=self.use_depth,
+            update_every=self.init_gaussian_update,
+            update_offset=1,
+            size_threshold=0.0,
+        )
         Log(
             f"DP mapping enabled: {n}-device mesh, {self._dp_slots} slots",
             tag="MonoGS-TPU",
         )
 
-    def _map_dp(self, iters: int, frames_to_optimize: int):
+    def _map_dp(self, iters: int, frames_to_optimize: int, init_mode: bool = False):
         """Data-parallel mapping round: one dp_mapping_step per iteration
         over the mesh (parallel/mesh.py:96-294) — keyframe slots sharded,
         map replicated, grads psum'd over ICI.
 
         Cadence parity with _map_single: densify fires inside the step at
-        the reference's update_every/update_offset; the opacity reset of
-        non-visible Gaussians (slam_backend.py:300-305) is applied between
-        steps when the iteration counter crosses the gaussian_reset
-        boundary, using the same occ-visibility harvest as the prune path.
-        Bootstrap (init BA) never routes here — see map()."""
-        from ..models.gaussians import reset_opacity_nonvisible
+        the phase's update_every/update_offset; the opacity reset — global
+        at init_gaussian_reset during init BA (slam_backend.py:86-140),
+        non-visible at gaussian_reset otherwise (slam_backend.py:300-305) —
+        is applied between steps when the counter crosses the boundary."""
+        from ..models.gaussians import reset_opacity, reset_opacity_nonvisible
         from ..parallel import DPBatch, make_dp_opt_state, shard_batch
+
+        step_fn = self._dp_step_init if init_mode else self._dp_step
+        g_th = self.init_gaussian_th if init_mode else self.gaussian_th
+        g_extent = (
+            self.init_gaussian_extent if init_mode else self.gaussian_extent
+        )
+        upd_every = self.init_gaussian_update if init_mode else self.gaussian_update_every
+        upd_offset = 1 if init_mode else self.gaussian_update_offset
 
         b = self._dp_slots
         dropped_acc = []
         with DEVICE_LOCK:
             kb, slot_ids = self._build_batch(
-                apply_exposure=True,
+                apply_exposure=not init_mode,
                 frames_to_optimize=frames_to_optimize,
                 b=b,
             )
@@ -841,10 +873,17 @@ class BackendEngine:
             gmap = self.gmap
             for _ in range(int(iters)):
                 it_next = self.iteration_count + 1
-                do_update = (
-                    it_next % self.gaussian_update_every
-                ) == self.gaussian_update_offset
-                if (it_next % self.gaussian_reset) == 0 and not do_update:
+                do_update = (it_next % upd_every) == upd_offset
+                if do_update:
+                    self.telemetry["dp_densify_events"] += 1
+                if init_mode:
+                    # initialize_map: ONE global opacity reset to 0.01 at
+                    # the init reset iteration (core/mapping.py init branch)
+                    if it_next == self.init_gaussian_reset:
+                        gmap = reset_opacity(gmap, 0.01)
+                        self.telemetry["dp_resets"] += 1
+                elif (it_next % self.gaussian_reset) == 0 and not do_update:
+                    self.telemetry["dp_resets"] += 1
                     kb_now = kb._replace(
                         T_w2c=batch.T_w2c, exposure=batch.exposure
                     )
@@ -856,14 +895,14 @@ class BackendEngine:
                         vis & jnp.asarray(kb.harvest_visibility)[:, None]
                     ).any(axis=0)
                     gmap = reset_opacity_nonvisible(gmap, vis_union, 0.4)
-                gmap, batch, opt, loss, dropped = self._dp_step(
+                gmap, batch, opt, loss, dropped = step_fn(
                     gmap,
                     batch,
                     opt,
                     jnp.asarray(self.iteration_count, jnp.int32),
                     self._split_rng(),
-                    jnp.float32(self.gaussian_th),
-                    jnp.float32(self.gaussian_extent),
+                    jnp.float32(g_th),
+                    jnp.float32(g_extent),
                 )
                 self.iteration_count += 1
                 dropped_acc.append(dropped)
@@ -877,6 +916,8 @@ class BackendEngine:
                 )
             self.telemetry["map_iters"] += int(iters)
             self.telemetry["map_chunks"] += 1
+            if init_mode:
+                self.telemetry["dp_init_iters"] += int(iters)
         # harvest tail expects a KeyframeBatch at the optimized poses
         last_batch = kb._replace(T_w2c=batch.T_w2c, exposure=batch.exposure)
         return last_batch, slot_ids

@@ -475,6 +475,8 @@ def _mapping_iterations_jit(
                 extent=gaussian_extent,
                 max_screen_size=size_threshold,
                 percent_dense=opt_cfg.percent_dense,
+                clone_budget=cfg.densify_clone_budget,
+                split_budget=cfg.densify_split_budget,
             )
 
         gmap_new, dropped = jax.lax.cond(

@@ -56,6 +56,13 @@ class StepConfig:
     # mapping reuses per-slot binnings for a whole chunk dispatch
     # (core/mapping.py); same drift-margin idea
     mapping_rebin_dilation: float = 4.0
+    # densify top-k budgets per densify event (models/gaussians.py
+    # densify_and_prune): requests beyond the budget are dropped (counted
+    # in densify_dropped). Reference growth is unbounded
+    # (gaussian_model.py:523-555); scale-pressure configs raise these so
+    # drops stay <10% of requests (TPU.densify_clone_budget/_split_budget)
+    densify_clone_budget: int = 4096
+    densify_split_budget: int = 2048
     # TPU.map_slots_per_iter (> 0): each mapping iteration renders only a
     # random rotating subset of this many LIVE slots (the newest window
     # keyframe always included) instead of every slot — the per-iteration
@@ -98,6 +105,9 @@ class StepConfig:
     # linearization (core/tracking_gn.py) — ~3x fewer render passes per
     # frame on a 6-DoF problem (Training.tracking_solver)
     tracking_solver: str = "adam"
+    # initial Levenberg damping for the GN solver (relative, scales
+    # diag(H)); raised 4x on uphill steps, halved on accepted ones
+    gn_lm_init: float = 1e-3
 
     @staticmethod
     def from_config(config) -> "StepConfig":
@@ -121,6 +131,7 @@ class StepConfig:
             plateau_iters=int(training.get("tracking_plateau_iters", 0)),
             plateau_rel_tol=float(training.get("tracking_plateau_rel_tol", 1e-4)),
             tracking_solver=str(training.get("tracking_solver", "adam")),
+            gn_lm_init=float(training.get("tracking_gn_lm_init", 1e-3)),
             track_compact=int(
                 (config.get("TPU", {}) or {}).get("track_compact", 0)
             ),
@@ -138,6 +149,12 @@ class StepConfig:
             ),
             map_slots_per_iter=int(
                 (config.get("TPU", {}) or {}).get("map_slots_per_iter", 0)
+            ),
+            densify_clone_budget=int(
+                (config.get("TPU", {}) or {}).get("densify_clone_budget", 4096)
+            ),
+            densify_split_budget=int(
+                (config.get("TPU", {}) or {}).get("densify_split_budget", 2048)
             ),
             edge_threshold=float(training.get("edge_threshold", 1.1)),
             per_block_mask=config["Dataset"].get("type") == "replica",

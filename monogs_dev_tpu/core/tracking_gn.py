@@ -57,8 +57,7 @@ from .tracking import (
 )
 
 _IRLS_EPS = 1e-3  # Charbonnier knee for the L1 -> IRLS weights
-_LM_INIT = 1e-2
-_LM_MIN, _LM_MAX = 1e-4, 1e2
+_LM_MIN, _LM_MAX = 1e-5, 1e2
 
 
 def track_frame_gn(
@@ -368,7 +367,7 @@ def _track_frame_gn_jit(
     carry = dict(
         T=jnp.asarray(T_init, jnp.float32),
         ab=jnp.asarray(exposure_init, jnp.float32),
-        lam=jnp.asarray(_LM_INIT, jnp.float32),
+        lam=jnp.asarray(cfg.gn_lm_init, jnp.float32),
         itr=jnp.zeros((), jnp.int32),
         converged=jnp.zeros((), bool),
         best_loss=jnp.asarray(jnp.inf),
@@ -383,7 +382,7 @@ def _track_frame_gn_jit(
         if li > 0:
             carry = dict(
                 carry,
-                lam=jnp.asarray(_LM_INIT, jnp.float32),
+                lam=jnp.asarray(cfg.gn_lm_init, jnp.float32),
                 itr=jnp.zeros((), jnp.int32),
                 converged=jnp.zeros((), bool),
                 best_loss=jnp.asarray(jnp.inf),

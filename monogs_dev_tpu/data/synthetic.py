@@ -185,6 +185,8 @@ class SyntheticDataset(BaseDataset):
                 jax.random.PRNGKey(seed),
                 n=n_gauss,
                 scale=float(ds.get("gaussian_scale", 0.035)),
+                extent_x=float(ds.get("extent_x", 5.0)),
+                extent_y=float(ds.get("extent_y", 3.0)),
             )
         else:
             self.scene_params, self.scene_active = make_synthetic_scene(

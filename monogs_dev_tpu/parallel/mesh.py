@@ -292,6 +292,8 @@ def dp_mapping_step(
                 extent=gaussian_extent,
                 max_screen_size=size_threshold,
                 percent_dense=opt_cfg.percent_dense,
+                clone_budget=cfg.densify_clone_budget,
+                split_budget=cfg.densify_split_budget,
             ),
             lambda g: (g, jnp.zeros((), jnp.int32)),
             gmap_new,
