@@ -56,7 +56,14 @@ from .tracking import (
     _scale_intrinsics,
 )
 
-_IRLS_EPS = 1e-3  # Charbonnier knee for the L1 -> IRLS weights
+# Pseudo-Huber IRLS: w = 1/sqrt(1 + (r/delta)^2) — quadratic near zero,
+# L1-like in the tails. The first cut used pure L1-IRLS (w = 1/|r| with a
+# 1e-3 knee): pixels already at ~zero residual then carry weight ~1000
+# while contributing ~nothing to the gradient, so H is inflated relative
+# to g and steps collapse — measured as unrecoverable per-frame drift at
+# the pipeline's 15-iteration budget (tiny_rgbd e2e, round 5).
+_HUBER_RGB = 0.05
+_HUBER_DEPTH = 0.05
 _LM_MIN, _LM_MAX = 1e-5, 1e2
 
 
@@ -215,7 +222,9 @@ def _track_frame_gn_jit(
                 [j_pose, j_a[..., None], j_b[..., None]], axis=-1
             )  # (H, W, 3, 8)
 
-            w_irls = 1.0 / jnp.sqrt(r_rgb * r_rgb + _IRLS_EPS * _IRLS_EPS)
+            w_irls = 1.0 / jnp.sqrt(
+                1.0 + (r_rgb / _HUBER_RGB) ** 2
+            )
             w_rgb = (
                 alpha_r * rgb_base.astype(jnp.float32) * geom_ok
             )[..., None] * w_irls
@@ -246,8 +255,16 @@ def _track_frame_gn_jit(
                 j_d = jnp.concatenate(
                     [j_zmotion + j_zwarp, jnp.zeros(z.shape + (2,))], -1
                 )  # (H, W, 8)
-                w_d = d_mask.astype(jnp.float32) / jnp.sqrt(
-                    r_d * r_d + _IRLS_EPS * _IRLS_EPS
+                # depth-DISCONTINUITY downweight (DSO-style): at occlusion
+                # boundaries |grad z| is meters/pixel and the first-order
+                # warp model is invalid — those rows dominate H quadratically
+                # and stalled the RGB-D solver at ~25% of the mono accuracy
+                # on the surface A/B. sigma = 5 cm/px keeps smooth-relief
+                # rows at full weight.
+                g2 = gzx[..., 0] ** 2 + gzy[..., 0] ** 2
+                w_edge = 0.0025 / (0.0025 + g2)
+                w_d = w_edge * d_mask.astype(jnp.float32) / jnp.sqrt(
+                    1.0 + (r_d / _HUBER_DEPTH) ** 2
                 )
                 n_d = jnp.maximum(d_mask.astype(jnp.float32).sum(), 1.0)
                 w_d = w_d * ((1.0 - cfg.alpha) / n_d)

@@ -385,3 +385,61 @@ class TestAdaptiveTrackCompaction:
         assert choose(fake(-1, [11000], cur=24576), 32768) == 16384
         # growth forced when the margin is lost
         assert choose(fake(-1, [14500], cur=16384), 32768) == 24576
+
+
+class TestGaussNewtonTracking:
+    """core/tracking_gn.py: the damped GN/LM pose solver (round-5 TPU-first
+    redesign of the reference's <=100-iteration Adam loop)."""
+
+    def _setup(self):
+        gmap = scene_map()
+        T_true = jnp.eye(4)
+        gt = render_tiled(
+            gmap.params, gmap.aux.active, T_true, INTR, 0, config=RCFG
+        )
+        tau = jnp.array([0.02, -0.015, 0.01, 0.004, -0.003, 0.002])
+        T_init = se3_exp(tau) @ T_true
+        depth_gt = gt.depth / jnp.maximum(gt.alpha, 1e-6)
+        return gmap, T_true, T_init, gt, depth_gt
+
+    def test_rgbd_recovers_pose(self):
+        from monogs_dev_tpu.core.tracking_gn import track_frame_gn
+
+        gmap, T_true, T_init, gt, depth_gt = self._setup()
+        cfg = StepConfig(monocular=False, tracking_max_iters=25)
+        res = track_frame_gn(
+            gmap.params, gmap.aux.active, T_init, jnp.zeros(2),
+            gt.color, depth_gt, jnp.ones((64, 80), bool), jnp.zeros(3),
+            cfg, INTR, RCFG, use_depth=True,
+        )
+        eb = float(jnp.linalg.norm(T_init[:3, 3] - T_true[:3, 3]))
+        ea = float(jnp.linalg.norm(res.T_w2c[:3, 3] - T_true[:3, 3]))
+        assert ea < eb * 0.35, (eb, ea)
+        assert int(res.n_binned) > 0
+
+    def test_mono_recovers_pose(self):
+        from monogs_dev_tpu.core.tracking_gn import track_frame_gn
+
+        gmap, T_true, T_init, gt, depth_gt = self._setup()
+        cfg = StepConfig(monocular=True, tracking_max_iters=25)
+        res = track_frame_gn(
+            gmap.params, gmap.aux.active, T_init, jnp.zeros(2),
+            gt.color, depth_gt, jnp.ones((64, 80), bool), jnp.zeros(3),
+            cfg, INTR, RCFG, use_depth=False,
+        )
+        eb = float(jnp.linalg.norm(T_init[:3, 3] - T_true[:3, 3]))
+        ea = float(jnp.linalg.norm(res.T_w2c[:3, 3] - T_true[:3, 3]))
+        assert ea < eb * 0.5, (eb, ea)
+
+    def test_stays_at_optimum(self):
+        from monogs_dev_tpu.core.tracking_gn import track_frame_gn
+
+        gmap, T_true, _, gt, depth_gt = self._setup()
+        cfg = StepConfig(monocular=False, tracking_max_iters=10)
+        res = track_frame_gn(
+            gmap.params, gmap.aux.active, T_true, jnp.zeros(2),
+            gt.color, depth_gt, jnp.ones((64, 80), bool), jnp.zeros(3),
+            cfg, INTR, RCFG, use_depth=True,
+        )
+        drift = float(jnp.linalg.norm(res.T_w2c[:3, 3] - T_true[:3, 3]))
+        assert drift < 2e-3, drift
