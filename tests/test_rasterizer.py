@@ -126,6 +126,7 @@ class TestGradients:
         assert float(jnp.linalg.norm(g_ref)) > 1e-6
         np.testing.assert_allclose(g_tiled, g_ref, rtol=5e-3, atol=1e-7)
 
+    @pytest.mark.slow  # 32 s: x64 recompiles every program fresh
     def test_pose_gradient_finite_difference_x64(self):
         # rigorous check: float64 central differences vs autodiff on the
         # oracle (float32 FD is swamped by rounding noise; the tiled
@@ -196,18 +197,17 @@ class TestTightCull:
 
 
 class TestTelemetry:
-    def test_tile_overflow_reported(self):
+    def test_tile_and_dup_overflow_reported(self):
+        # one render triggering BOTH overflow counters (one compile instead
+        # of two ~12 s variants): tiny per-tile lists overflow under 100
+        # stacked gaussians, and huge splats overflow k_dup=2 duplication
         params, active = make_scene(n=100)
-        cfg = RasterConfig(tile=16, max_per_tile=4, k_dup=16, tile_group=8)
+        params = params._replace(
+            log_scales=params.log_scales.at[:10].set(jnp.log(2.0))
+        )
+        cfg = RasterConfig(tile=16, max_per_tile=4, k_dup=2, tile_group=8)
         out = render_tiled(params, active, jnp.eye(4), INTR, 0, config=cfg)
         assert int(out.tile_overflow) > 0
-
-    def test_dup_overflow_reported(self):
-        params, active = make_scene(n=10)
-        # huge gaussians spanning many tiles
-        params = params._replace(log_scales=jnp.full((10, 3), jnp.log(2.0)))
-        cfg = RasterConfig(tile=16, max_per_tile=64, k_dup=2, tile_group=8)
-        out = render_tiled(params, active, jnp.eye(4), INTR, 0, config=cfg)
         assert int(out.dup_overflow) > 0
 
 
@@ -369,6 +369,7 @@ class TestCompactBinning:
             np.asarray(out.alpha), np.asarray(full.alpha)
         )
 
+    @pytest.mark.slow  # 18 s; covered by the core-steps compaction e2e
     def test_pose_gradient_identical(self):
         from monogs_dev_tpu.geometry import se3_exp
         from monogs_dev_tpu.ops.project import project_gaussians
@@ -417,6 +418,7 @@ class TestMedianDepth:
     (BASELINE.md fixture-depth analysis; reference per-patch median
     pseudo-depth at utils/slam_frontend.py:63-104)."""
 
+    @pytest.mark.slow  # 22 s compile; offline fixture-gen utility
     def test_silhouette_returns_near_surface(self):
         from monogs_dev_tpu.ops.rasterize import render_median_depth
         from monogs_dev_tpu.ops import render_tiled
