@@ -385,3 +385,58 @@ class TestMappingCapacityTier:
             [np.isfinite(c.T_est).all() for c in slam.frontend.cameras.values()]
         )
         slam.stop()
+
+
+class TestColorRefinementMechanism:
+    """refine_chunk improves rendering given CORRECT poses (VERDICT r4 #5).
+
+    At-scale evidence lives in BASELINE.md (surface_sp_160 @ 2000 iters:
+    PSNR 38.65 -> 41.42 on v5e). E2e refinement on poorly-tracked tiny
+    scenes can DEGRADE eval PSNR (pose error bakes into the map), so the
+    regression test pins the mechanism: a color-perturbed map under exact
+    poses must recover PSNR monotonically with budget."""
+
+    def test_refinement_recovers_perturbed_colors(self):
+        import jax
+        import jax.numpy as jnp
+
+        from monogs_dev_tpu.core.params import MapOptConfig, StepConfig
+        from monogs_dev_tpu.core.refinement import refine_chunk
+        from monogs_dev_tpu.data.synthetic import make_synthetic_scene
+        from monogs_dev_tpu.models import Intrinsics, create_map, insert_points
+        from monogs_dev_tpu.ops import RasterConfig, render_tiled
+        from monogs_dev_tpu.utils.losses import psnr
+
+        intr = Intrinsics(fx=70.0, fy=70.0, cx=40.0, cy=32.0, width=80, height=64)
+        rcfg = RasterConfig(tile=16, max_per_tile=128, k_dup=8, tile_group=10)
+        params, active = make_synthetic_scene(jax.random.PRNGKey(3), n=300, scale=0.08)
+        gmap = create_map(512, 0)
+        gmap, _ = insert_points(gmap, params, active, kf_id=0)
+        T = jnp.eye(4)
+        gt = render_tiled(gmap.params, gmap.aux.active, T, intr, 0, config=rcfg)
+
+        noisy = gmap.params._replace(
+            f_dc=gmap.params.f_dc
+            + 0.3 * jax.random.normal(jax.random.PRNGKey(9), gmap.params.f_dc.shape)
+        )
+        gmap = gmap._replace(params=noisy)
+
+        def eval_psnr(g):
+            out = render_tiled(g.params, g.aux.active, T, intr, 0, config=rcfg)
+            return float(psnr(out.color, gt.color))
+
+        p0 = eval_psnr(gmap)
+        images = jnp.tile(gt.color[None], (10, 1, 1, 1))
+        poses = jnp.tile(T[None], (10, 1, 1))
+        gmap2, it = refine_chunk(
+            gmap, images, poses, jnp.zeros((), jnp.int32), jnp.zeros(3),
+            StepConfig(), MapOptConfig(), intr, rcfg, iters=10,
+        )
+        p1 = eval_psnr(gmap2)
+        gmap3, _ = refine_chunk(
+            gmap2, images, poses, it, jnp.zeros(3),
+            StepConfig(), MapOptConfig(), intr, rcfg, iters=10,
+        )
+        p2 = eval_psnr(gmap3)
+        assert p1 > p0 + 1.0, (p0, p1)
+        assert p2 > p1, (p1, p2)
