@@ -79,6 +79,44 @@ def _cov3d_components(log_scales, quats, scale_modifier):
     return c00, c01, c02, c11, c12, c22
 
 
+def sanitize_params(params: GaussianParams, active: jnp.ndarray):
+    """NaN/Inf row quarantine. A map row whose params went non-finite
+    (observed: gaussians diverging during a 10x-xyz-LR init BA, then
+    pruned with their NaN params left in place) must NEVER enter the
+    compute graph: masking later is not enough, because reverse-mode
+    propagates `0 * NaN = NaN` from the row's projection math into the
+    shared pose/exposure gradients even when the row contributes zero
+    forward — measured as instant tracking-pose NaN on the realsense
+    replay e2e. Quarantined rows get inert constants (tiny scale, zero
+    opacity logit never matters since they also leave `active`) and the
+    map self-heals: they render nothing, receive zero gradients, and are
+    eventually evicted."""
+    row_ok = (
+        jnp.isfinite(params.xyz).all(-1)
+        & jnp.isfinite(params.log_scales).all(-1)
+        & jnp.isfinite(params.quats).all(-1)
+        & jnp.isfinite(params.opacity_logit)
+        & jnp.isfinite(params.f_dc).all((-1, -2))
+    )
+    if params.f_rest is not None and params.f_rest.size:
+        row_ok = row_ok & jnp.isfinite(params.f_rest).all((-1, -2))
+    ok1 = row_ok[:, None]
+    unit_quat = jnp.array([1.0, 0.0, 0.0, 0.0], params.quats.dtype)
+    params = params._replace(
+        xyz=jnp.where(ok1, params.xyz, 0.0),
+        log_scales=jnp.where(ok1, params.log_scales, -10.0),
+        quats=jnp.where(ok1, params.quats, unit_quat),
+        opacity_logit=jnp.where(row_ok, params.opacity_logit, -10.0),
+        f_dc=jnp.where(row_ok[:, None, None], params.f_dc, 0.0),
+        f_rest=(
+            jnp.where(row_ok[:, None, None], params.f_rest, 0.0)
+            if params.f_rest is not None and params.f_rest.size
+            else params.f_rest
+        ),
+    )
+    return params, active & row_ok
+
+
 def project_gaussians(
     params: GaussianParams,
     active: jnp.ndarray,
@@ -88,6 +126,7 @@ def project_gaussians(
     scale_modifier: float = 1.0,
     isotropic: bool = False,
 ) -> ProjectedGaussians:
+    params, active = sanitize_params(params, active)
     scales, quats, opacity = activations(params)
     if isotropic:
         # reference isotropic broadcast (gaussian_renderer/__init__.py:89-92)

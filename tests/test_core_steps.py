@@ -443,3 +443,41 @@ class TestGaussNewtonTracking:
         )
         drift = float(jnp.linalg.norm(res.T_w2c[:3, 3] - T_true[:3, 3]))
         assert drift < 2e-3, drift
+
+
+class TestNaNRowQuarantine:
+    """ops/project.py sanitize_params: non-finite map rows must not poison
+    pose gradients through 0 * NaN backward propagation (the realsense
+    replay failure: NaN-diverged rows left by a 10x-LR init BA made every
+    subsequent tracking pose NaN from the first iteration)."""
+
+    def test_nan_rows_do_not_poison_pose_gradients(self):
+        gmap = scene_map()
+        # corrupt a band of rows the way a diverged+pruned gaussian looks
+        bad = jnp.arange(50, 80)
+        params = gmap.params._replace(
+            xyz=gmap.params.xyz.at[bad].set(jnp.nan),
+            log_scales=gmap.params.log_scales.at[bad].set(jnp.nan),
+            quats=gmap.params.quats.at[bad].set(jnp.nan),
+        )
+        active = gmap.aux.active.at[bad].set(False)
+        T_true = jnp.eye(4)
+        gt = render_tiled(params, active, T_true, INTR, 0, config=RCFG)
+        assert bool(jnp.isfinite(gt.color).all())
+
+        cfg = StepConfig(monocular=False, tracking_max_iters=10)
+        res = track_frame(
+            params, active, T_true, jnp.zeros(2), gt.color,
+            gt.depth / jnp.maximum(gt.alpha, 1e-6),
+            jnp.ones((64, 80), bool), jnp.zeros(3), cfg, INTR, RCFG,
+            use_depth=True,
+        )
+        assert bool(jnp.isfinite(res.T_w2c).all())
+        # ALSO with NaN rows still marked active (mid-divergence state)
+        res2 = track_frame(
+            params, gmap.aux.active, T_true, jnp.zeros(2), gt.color,
+            gt.depth / jnp.maximum(gt.alpha, 1e-6),
+            jnp.ones((64, 80), bool), jnp.zeros(3), cfg, INTR, RCFG,
+            use_depth=True,
+        )
+        assert bool(jnp.isfinite(res2.T_w2c).all())

@@ -109,7 +109,16 @@ def run_replay(n_frames=120):
     config["Results"]["eval_rendering"] = True
     config["Training"]["refinement_itr_num"] = 500
     config.setdefault("TPU", {})
-    config["TPU"].update({"capacity": 65536, "max_per_tile": 512, "k_dup": 8})
+    # in-program rebinning is mandatory here: the live config inherits the
+    # reference's 10x position_lr_init (0.0016), so the map moves ~20 px
+    # per reuse chunk during init-BA and stale binnings truncate exactly
+    # the gradients that build the bootstrap map (first attempt: n_vis 0,
+    # endless mono resets)
+    config["TPU"].update({
+        "capacity": 65536, "max_per_tile": 512, "k_dup": 8,
+        "mapping_rebin_every": 4, "map_chunk": 25,
+        "mapping_rebin_dilation": 6.0,
+    })
 
     save_dir = "results/replay_fixture_eval"
     os.makedirs(save_dir, exist_ok=True)
