@@ -100,11 +100,24 @@ def sanitize_params(params: GaussianParams, active: jnp.ndarray):
     )
     if params.f_rest is not None and params.f_rest.size:
         row_ok = row_ok & jnp.isfinite(params.f_rest).all((-1, -2))
+    # overflow guard on top of the finiteness check: a FINITE log-scale of
+    # ~90 still turns exp(s)^2 into inf inside the covariance quadratics,
+    # and `inf - inf = NaN` then leaks through det/eigen guards (observed
+    # on the same diverging init-BA rows before they hit literal NaN).
+    # exp(8) ~ 3000 world units is far beyond any plausible splat; the
+    # clip's zero outside-gradient also stops feeding the runaway.
+    log_scales_c = jnp.clip(params.log_scales, -20.0, 8.0)
+    row_ok = row_ok & (
+        jnp.abs(params.xyz).max(-1) < 1e6
+    )  # km-scale positions are divergence debris, not geometry
+    # near-zero quats normalize fine FORWARD but their normalize VJP
+    # scales like 1/|q| per chain link — overflow fuel in big programs
+    row_ok = row_ok & (jnp.linalg.norm(params.quats, axis=-1) > 1e-3)
     ok1 = row_ok[:, None]
     unit_quat = jnp.array([1.0, 0.0, 0.0, 0.0], params.quats.dtype)
     params = params._replace(
         xyz=jnp.where(ok1, params.xyz, 0.0),
-        log_scales=jnp.where(ok1, params.log_scales, -10.0),
+        log_scales=jnp.where(ok1, log_scales_c, -10.0),
         quats=jnp.where(ok1, params.quats, unit_quat),
         opacity_logit=jnp.where(row_ok, params.opacity_logit, -10.0),
         f_dc=jnp.where(row_ok[:, None, None], params.f_dc, 0.0),
@@ -210,9 +223,14 @@ def project_gaussians(
     if sh_degree > 0 and params.f_rest.shape[1] > 0:
         cam_center = -R.T @ t
         dirs = params.xyz - cam_center
-        dirs = dirs / jnp.maximum(
-            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8
-        )
+        # eps-under-sqrt normalize: `norm(dirs)` computes sqrt(0) whose
+        # derivative is inf BEFORE any maximum() guard can mask it, so one
+        # row with xyz == cam_center turns the whole pose gradient NaN
+        # (0-cotangent x inf; root cause of the sh3 tracking NaN on the
+        # replay e2e). max on the SQUARED norm keeps every derivative
+        # finite and zeroes the cotangent below the floor.
+        n2 = jnp.sum(dirs * dirs, axis=-1, keepdims=True)
+        dirs = dirs / jnp.sqrt(jnp.maximum(n2, 1e-16))
         sh = jnp.concatenate([params.f_dc, params.f_rest], axis=1)
         color = jnp.maximum(eval_sh(sh_degree, sh, dirs) + 0.5, 0.0)
     else:

@@ -481,3 +481,39 @@ class TestNaNRowQuarantine:
             use_depth=True,
         )
         assert bool(jnp.isfinite(res2.T_w2c).all())
+
+
+class TestSHViewDirGradient:
+    """sh_degree>0 pose gradients with a gaussian AT the camera center:
+    the dirs normalize must use the eps-under-sqrt pattern — norm(0) has
+    an inf derivative that a post-hoc maximum() cannot mask (0-cotangent x
+    inf = NaN poisoned ALL sh3 pose gradients; replay e2e root cause)."""
+
+    def test_gaussian_at_camera_center_keeps_grads_finite(self):
+        from monogs_dev_tpu.ops.project import project_gaussians
+
+        n = 8
+        rng = jax.random.PRNGKey(0)
+        xyz = jax.random.normal(rng, (n, 3)) + jnp.array([0.0, 0.0, 2.0])
+        T = jnp.eye(4)
+        cam_center = jnp.zeros(3)  # -R^T t for identity pose
+        xyz = xyz.at[3].set(cam_center)  # exactly at the camera
+        from monogs_dev_tpu.models.gaussians import GaussianParams, inverse_sigmoid
+
+        params = GaussianParams(
+            xyz=xyz,
+            f_dc=jnp.full((n, 1, 3), 0.3),
+            f_rest=jnp.zeros((n, 15, 3)).at[:, 0].set(0.1),
+            log_scales=jnp.full((n, 3), jnp.log(0.05)),
+            quats=jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (n, 1)),
+            opacity_logit=jnp.full((n,), inverse_sigmoid(jnp.float32(0.9))),
+        )
+        active = jnp.ones((n,), bool)
+
+        def loss(tau):
+            Tn = se3_exp(tau) @ T
+            pr = project_gaussians(params, active, Tn, INTR, 3)
+            return pr.color.sum() + jnp.where(pr.valid, pr.depth, 0.0).sum()
+
+        g = jax.grad(loss)(jnp.zeros(6))
+        assert bool(jnp.isfinite(g).all()), g
