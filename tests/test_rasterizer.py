@@ -74,7 +74,9 @@ class TestParityWithOracle:
         assert np.array_equal(ref_t > 0, tiled_t > 0)
 
     def test_background_color(self):
-        params, active = make_scene(n=4)
+        # n=40 everywhere in this class: shared shapes reuse the in-process
+        # compiled programs (fast-suite <5 min budget, VERDICT r4 #8)
+        params, active = make_scene(n=40)
         # push gaussians out of view
         params = params._replace(xyz=params.xyz + jnp.array([100.0, 0.0, 0.0]))
         bg = jnp.array([0.2, 0.4, 0.6])
@@ -87,9 +89,20 @@ class TestParityWithOracle:
         params, active = make_scene()
         half = active & (jnp.arange(active.shape[0]) < 20)
         out_half = render_tiled(params, half, jnp.eye(4), INTR, 0, config=CFG)
-        params_cut = jax.tree.map(lambda x: x[:20], params)
-        out_cut = render_tiled(params_cut, half[:20], jnp.eye(4), INTR, 0, config=CFG)
-        np.testing.assert_allclose(out_half.color, out_cut.color, atol=1e-5)
+        # same shape, masked rows swapped for OTHER rows' (valid, in-range)
+        # values: output must be unchanged — masked rows are fully ignored.
+        # (An n=20 physical-cut comparison checked the same property but
+        # compiled a whole second program family just for this test.)
+        perturbed = jax.tree.map(
+            lambda x: jnp.where(
+                jnp.reshape(half, (-1,) + (1,) * (x.ndim - 1)),
+                x,
+                jnp.roll(x, 7, axis=0),
+            ),
+            params,
+        )
+        out_p = render_tiled(perturbed, half, jnp.eye(4), INTR, 0, config=CFG)
+        np.testing.assert_allclose(out_half.color, out_p.color, atol=1e-6)
 
     def test_posed_camera(self):
         params, active = make_scene()
